@@ -1,0 +1,262 @@
+"""Data layer: spectra files -> fixed-shape device-resident tensors.
+
+Replaces the reference's host-side loader
+(``/root/reference/QFA/dataloader.py``) with a TPU-first design:
+
+* npz spectra are read concurrently (thread pool — ``np.load`` is
+  IO-bound) into **fixed padded (N, Npix) buffers with masks**; missing
+  pixels (sentinel ``-999.``) become ``mask = 0`` with sanitized flux/error.
+* the residual field ``delta = flux - mu * exp(-tau_total)`` is computed
+  **once** on device for the whole dataset (the reference recomputes it on
+  the host for every batch of every epoch,
+  ``/root/reference/QFA/dataloader.py:135``).
+* epoch shuffling is a ``jax.random.permutation`` of indices; batches are
+  gathered on device — zero host->device traffic in steady state
+  ("resident" mode). A streaming iterator is provided for datasets larger
+  than HBM.
+
+Catalog semantics (snr/z/num_mask filtering, sampling with replacement when
+the selection is too small, train-catalog dump) mirror
+``/root/reference/QFA/dataloader.py:47-55``.
+"""
+
+from __future__ import annotations
+
+import os
+from concurrent.futures import ThreadPoolExecutor
+from typing import Iterator, NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..physics.smoothing import smooth_curve
+from ..physics.tau import tau_total
+from .batch import SpectraBatch
+from .grid import WavelengthGrid
+
+Array = jnp.ndarray
+
+MISSING = -999.0
+
+__all__ = [
+    "MISSING",
+    "SpectraDataset",
+    "read_spectrum",
+    "read_spectra",
+    "select_from_catalog",
+    "estimate_mu",
+    "make_residuals",
+    "ResidualDataset",
+    "batch_indices",
+]
+
+
+def read_spectrum(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+    """Load one spectrum npz (keys ``flux, error, z``) and derive its mask.
+
+    Missing pixels are flagged with the ``-999.`` sentinel in either flux or
+    error (``/root/reference/QFA/dataloader.py:24-28``); they are masked and
+    sanitized to 0 so no sentinel value can leak into device arithmetic.
+    """
+    with np.load(path) as f:
+        flux = np.asarray(f["flux"], np.float32)
+        error = np.asarray(f["error"], np.float32)
+        z = float(f["z"])
+    mask = (flux != MISSING) & (error != MISSING)
+    flux = np.where(mask, flux, 0.0).astype(np.float32)
+    error = np.where(mask, error, 0.0).astype(np.float32)
+    return flux, error, mask, z
+
+
+def read_spectra(
+    paths: Sequence[str], max_workers: int = 16
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Read many spectra concurrently into stacked arrays.
+
+    Returns (flux, error, mask, zqso) with shapes (N, Npix) x3 and (N,).
+    """
+    with ThreadPoolExecutor(max_workers=max_workers) as pool:
+        rows = list(pool.map(read_spectrum, paths))
+    flux = np.stack([r[0] for r in rows])
+    error = np.stack([r[1] for r in rows])
+    mask = np.stack([r[2] for r in rows])
+    z = np.array([r[3] for r in rows], np.float32)
+    return flux, error, mask, z
+
+
+def select_from_catalog(
+    catalog_csv: str,
+    data_dir: str,
+    num: int,
+    *,
+    snr_min: float = 2.0,
+    snr_max: float = 100.0,
+    z_min: float = 2.0,
+    z_max: float = 3.5,
+    num_mask: int = 0,
+    seed: int | None = None,
+    output_dir: str | None = None,
+    prefix: str = "train",
+) -> list[str]:
+    """Filter a catalog CSV and sample ``num`` file paths.
+
+    The catalog must provide columns ``file, snr, z, num_mask``. Sampling is
+    with replacement when fewer than ``num`` rows survive the cut (reference
+    behavior). If ``output_dir`` is given, the chosen file list is written to
+    ``{prefix}-catalog.csv`` for reproducibility.
+    """
+    import pandas as pd
+
+    cat = pd.read_csv(catalog_csv)
+    sel = (
+        (cat["snr"] >= snr_min)
+        & (cat["snr"] <= snr_max)
+        & (cat["z"] >= z_min)
+        & (cat["z"] <= z_max)
+        & (cat["num_mask"] <= num_mask)
+    )
+    pool = cat["file"][sel].to_numpy()
+    if len(pool) == 0:
+        raise ValueError("catalog selection is empty — relax the cuts")
+    rng = np.random.default_rng(seed)
+    files = rng.choice(pool, size=num, replace=len(pool) < num)
+    if output_dir is not None:
+        os.makedirs(output_dir, exist_ok=True)
+        pd.Series(files).to_csv(
+            os.path.join(output_dir, f"{prefix}-catalog.csv"),
+            header=False,
+            index=False,
+        )
+    return [os.path.join(data_dir, f) for f in files]
+
+
+class SpectraDataset(NamedTuple):
+    """Host-side dataset of observed spectra on the common grid."""
+
+    flux: np.ndarray  #: (N, Npix) float32, 0 where masked.
+    error: np.ndarray  #: (N, Npix) float32, 0 where masked.
+    mask: np.ndarray  #: (N, Npix) bool.
+    zqso: np.ndarray  #: (N,) float32.
+    paths: tuple  #: file names (may be empty for synthetic data).
+
+    @property
+    def size(self) -> int:
+        return self.flux.shape[0]
+
+    @property
+    def npix(self) -> int:
+        return self.flux.shape[1]
+
+    @classmethod
+    def from_paths(cls, paths: Sequence[str], max_workers: int = 16
+                   ) -> "SpectraDataset":
+        flux, error, mask, z = read_spectra(paths, max_workers)
+        return cls(flux=flux, error=error, mask=mask, zqso=z, paths=tuple(paths))
+
+
+def estimate_mu(
+    dataset: SpectraDataset,
+    grid: WavelengthGrid,
+    *,
+    tau_which: str = "becker",
+    window: int = 16,
+    compat_denominator: bool = True,
+) -> np.ndarray:
+    """Data-driven mean continuum estimate.
+
+    Each spectrum is de-absorbed on the blue side (``flux * exp(+tau_total)``)
+    and the per-pixel masked average is smoothed
+    (``/root/reference/QFA/dataloader.py:110-112``).
+
+    ``compat_denominator=True`` reproduces the reference's denominator — the
+    count of pixels with non-sentinel *flux* only — which can differ from the
+    numerator's full mask (SURVEY.md section 3 quirk 7). ``False`` uses the
+    actual mask count. Pixels observed nowhere yield 0 instead of NaN.
+    """
+    taus = np.asarray(tau_total(jnp.asarray(grid.wav), jnp.asarray(dataset.zqso),
+                                which=tau_which))
+    deabsorb = np.concatenate(
+        [np.exp(taus), np.ones((dataset.size, grid.nr), np.float32)], axis=1
+    )
+    num = np.sum(dataset.flux * deabsorb * dataset.mask, axis=0)
+    if compat_denominator:
+        # matches the reference; with sanitized buffers flux==0 means masked,
+        # so the count differs only for genuinely zero observed flux.
+        den = np.sum(dataset.flux != 0.0, axis=0).astype(np.float64)
+    else:
+        den = np.sum(dataset.mask, axis=0).astype(np.float64)
+    mu = np.where(den > 0, num / np.maximum(den, 1.0), 0.0)
+    return smooth_curve(mu, window_len=window).astype(np.float32)
+
+
+class ResidualDataset(NamedTuple):
+    """Device-resident training tensors (everything the likelihood needs)."""
+
+    delta: Array  #: (N, Npix)
+    error: Array  #: (N, Npix)
+    zabs: Array  #: (N, Nb)
+    mask: Array  #: (N, Npix) float32
+
+    @property
+    def size(self) -> int:
+        return self.delta.shape[0]
+
+    def gather(self, idx: Array) -> SpectraBatch:
+        """Assemble a batch by index gather (device-side, jit-safe)."""
+        return SpectraBatch(
+            delta=self.delta[idx],
+            error=self.error[idx],
+            zabs=self.zabs[idx],
+            mask=self.mask[idx],
+            weight=jnp.ones(idx.shape, self.delta.dtype),
+        )
+
+
+def make_residuals(
+    dataset: SpectraDataset,
+    grid: WavelengthGrid,
+    mu: np.ndarray,
+    *,
+    tau_which: str = "becker",
+    device_put=None,
+) -> ResidualDataset:
+    """Compute the training residual field for the whole dataset at once.
+
+    ``delta = flux - mu * exp(-tau_total(lambda, zqso))`` on the blue side,
+    ``flux - mu`` on the red side (``/root/reference/QFA/dataloader.py:135``),
+    masked pixels zeroed. ``device_put`` may be a function (e.g. a sharded
+    ``jax.device_put``) applied to each array.
+    """
+    taus = np.asarray(
+        tau_total(jnp.asarray(grid.wav), jnp.asarray(dataset.zqso), which=tau_which)
+    )
+    absorb = np.concatenate(
+        [np.exp(-taus), np.ones((dataset.size, grid.nr), np.float32)], axis=1
+    ).astype(np.float32)
+    mask = dataset.mask.astype(np.float32)
+    delta = (dataset.flux - np.asarray(mu, np.float32) * absorb) * mask
+    zabs = grid.zabs(dataset.zqso).astype(np.float32)
+    put = device_put if device_put is not None else jnp.asarray
+    return ResidualDataset(
+        delta=put(delta.astype(np.float32)),
+        error=put(dataset.error),
+        zabs=put(zabs),
+        mask=put(mask),
+    )
+
+
+def batch_indices(
+    key: jax.Array, n: int, batch_size: int, *, drop_remainder: bool = True
+) -> Array:
+    """Shuffled epoch index matrix of shape (n_batches, batch_size).
+
+    The tail that doesn't fill a batch is dropped when ``drop_remainder``
+    (keeps every step the same compiled shape); with a dataset padded to a
+    multiple of the batch size nothing is lost.
+    """
+    perm = jax.random.permutation(key, n)
+    n_batches = n // batch_size
+    if not drop_remainder and n % batch_size:
+        raise NotImplementedError("pad the dataset to a batch multiple instead")
+    return perm[: n_batches * batch_size].reshape(n_batches, batch_size)

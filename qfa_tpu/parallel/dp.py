@@ -1,0 +1,155 @@
+"""Data-parallel training over a device mesh via ``shard_map``.
+
+SPMD layout:
+
+* the resident dataset is sharded along the spectrum axis (``P('data')``);
+* parameters and optimizer state are replicated (``P()``) — the model is
+  tiny, so replicating and all-reducing gradients is the right trade
+  (an 18k-85k-param psum per step is microseconds on ICI);
+* each step, every device gathers a local sub-batch from its own shard,
+  computes local gradient sums and contribution counts, and one ``psum``
+  over the data axis produces the exact same global normalized gradient the
+  single-device path computes — including the reference's per-element
+  nonzero-count averaging, which becomes a psum of count arrays
+  (SURVEY.md section 5 "distributed backend").
+
+Epoch shuffling is per-shard (each device permutes its own shard), which is
+standard data-parallel sampling; the composition of shard assignment +
+per-shard permutation is a valid global shuffle for i.i.d. data.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..data.batch import SpectraBatch
+from ..data.loader import ResidualDataset
+from ..models.params import clip_params
+from ..models.qfa import normalize_with_counts, summed_stats
+from ..train import adam
+from ..train.loop import TrainConfig, TrainState
+
+Array = jnp.ndarray
+
+__all__ = [
+    "shard_dataset",
+    "shard_epoch_indices",
+    "make_dp_epoch_fn",
+    "dp_train_epoch",
+]
+
+
+def shard_dataset(data: ResidualDataset, mesh: Mesh) -> ResidualDataset:
+    """Place the resident dataset sharded along the spectrum axis."""
+    axis = mesh.axis_names[0]
+
+    def put(x):
+        return jax.device_put(x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))
+
+    return ResidualDataset(*(put(leaf) for leaf in data))
+
+
+def shard_epoch_indices(
+    key: jax.Array, n: int, batch_size: int, mesh: Mesh
+) -> Array:
+    """Per-shard shuffled index tensor, shape (ndev, n_batches, local_bs).
+
+    Values are LOCAL indices into each device's shard. Sharded over axis 0.
+    """
+    ndev = mesh.devices.size
+    if n % ndev:
+        raise ValueError(f"dataset size {n} not divisible by {ndev} devices")
+    if batch_size % ndev:
+        raise ValueError(f"batch size {batch_size} not divisible by {ndev}")
+    shard_n = n // ndev
+    local_bs = batch_size // ndev
+    n_batches = shard_n // local_bs
+    keys = jax.random.split(key, ndev)
+    perms = jnp.stack([jax.random.permutation(k, shard_n) for k in keys])
+    idx = perms[:, : n_batches * local_bs].reshape(ndev, n_batches, local_bs)
+    axis = mesh.axis_names[0]
+    return jax.device_put(idx, NamedSharding(mesh, P(axis, None, None)))
+
+
+def make_dp_epoch_fn(config: TrainConfig, mesh: Mesh) -> Callable:
+    """Build the jitted SPMD one-epoch function.
+
+    Signature: ``(state, data, idx) -> (state, mean_loss)`` with ``data``
+    sharded by :func:`shard_dataset` and ``idx`` by
+    :func:`shard_epoch_indices`. The state stays replicated; XLA keeps all
+    communication to one gradient/count psum per batch.
+    """
+    adam_cfg = config.adam_config()
+    axis = mesh.axis_names[0]
+
+    def local_epoch(state: TrainState, data: ResidualDataset, idx: Array):
+        # Inside shard_map: data leaves are the local shard, idx is
+        # (1, n_batches, local_bs) — drop the unit mesh dim.
+        idx = idx[0]
+
+        def batch_step(carry: TrainState, b_idx):
+            batch = SpectraBatch(
+                delta=data.delta[b_idx],
+                error=data.error[b_idx],
+                zabs=data.zabs[b_idx],
+                mask=data.mask[b_idx],
+                weight=jnp.ones(b_idx.shape, data.delta.dtype),
+            )
+            total, n_real, grads, counts = summed_stats(
+                carry.params, batch, config.options
+            )
+            # The one collective of the step: global sums over the data axis.
+            total, n_real, grads, counts = jax.lax.psum(
+                (total, n_real, grads, counts), axis
+            )
+            if config.reference_norm:
+                grads = normalize_with_counts(grads, counts)
+            else:
+                grads = jax.tree.map(
+                    lambda g: g / jnp.maximum(n_real, 1.0), grads
+                )
+            new_params, new_opt = adam.apply_update(
+                carry.params, grads, carry.opt_state, adam_cfg
+            )
+            new_params = clip_params(new_params, config.bounds)
+            loss = total / jnp.maximum(n_real, 1.0)
+            return TrainState(new_params, new_opt), loss
+
+        state, losses = jax.lax.scan(batch_step, state, idx)
+        return (
+            TrainState(state.params, adam.next_epoch(state.opt_state)),
+            jnp.mean(losses),
+        )
+
+    rep = P()
+    sharded = jax.shard_map(
+        local_epoch,
+        mesh=mesh,
+        # prefix specs: replicated state, spectrum-axis-sharded data leaves,
+        # device-major epoch indices.
+        in_specs=(rep, P(axis, None), P(axis, None, None)),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(sharded, donate_argnums=(0,))
+
+
+def dp_train_epoch(
+    state: TrainState,
+    data: ResidualDataset,
+    key: jax.Array,
+    config: TrainConfig,
+    mesh: Mesh,
+    epoch_fn=None,
+) -> tuple[TrainState, float]:
+    """Run one data-parallel epoch; returns (state, mean loss)."""
+    if epoch_fn is None:
+        epoch_fn = make_dp_epoch_fn(config, mesh)
+    idx = shard_epoch_indices(key, data.size, config.batch_size, mesh)
+    state, loss = epoch_fn(state, data, idx)
+    return state, float(loss)

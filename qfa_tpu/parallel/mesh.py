@@ -1,0 +1,79 @@
+"""Device-mesh construction and sharding helpers.
+
+The reference has no distributed support (single ``CUDA_VISIBLE_DEVICES``
+pick, ``/root/reference/main.py:56``); scaling here is SPMD over a
+``jax.sharding.Mesh``. The workload is data-parallel dominant — the model is
+tiny (~18k-85k params) and replicated, the batch axis is sharded over ICI —
+with an optional second mesh axis reserved for sharding the wavelength axis
+at DESI scale.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+__all__ = [
+    "make_mesh",
+    "data_sharding",
+    "replicated",
+    "shard_leaves",
+    "local_shard_size",
+    "initialize_distributed",
+]
+
+
+def make_mesh(
+    n_devices: int | None = None,
+    axis_name: str = "data",
+    devices: Sequence[jax.Device] | None = None,
+) -> Mesh:
+    """A 1-D mesh over (the first ``n_devices``) local devices."""
+    devs = list(devices) if devices is not None else jax.devices()
+    if n_devices is not None:
+        if n_devices > len(devs):
+            raise ValueError(
+                f"requested {n_devices} devices, only {len(devs)} present"
+            )
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis_name,))
+
+
+def data_sharding(mesh: Mesh, ndim: int = 2, axis: int = 0) -> NamedSharding:
+    """NamedSharding that splits array dimension ``axis`` over the data axis."""
+    spec = [None] * ndim
+    spec[axis] = mesh.axis_names[0]
+    return NamedSharding(mesh, P(*spec))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_leaves(tree: Any, mesh: Mesh, axis: int = 0) -> Any:
+    """``device_put`` every array leaf split along ``axis`` over the mesh."""
+
+    def put(x):
+        return jax.device_put(x, data_sharding(mesh, np.ndim(x), axis))
+
+    return jax.tree.map(put, tree)
+
+
+def local_shard_size(n: int, mesh: Mesh) -> int:
+    ndev = mesh.devices.size
+    if n % ndev:
+        raise ValueError(f"dataset size {n} not divisible by {ndev} devices")
+    return n // ndev
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host entry point: thin wrapper over
+    ``jax.distributed.initialize`` (coordinator address etc. from env or
+    kwargs). Safe to call when already initialized."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except RuntimeError:
+        pass  # already initialized

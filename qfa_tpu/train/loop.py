@@ -1,0 +1,197 @@
+"""Training loop: jit-compiled epoch steps over a device-resident dataset.
+
+The reference's epoch (``/root/reference/QFA/model.py:183-231``) is a Python
+loop that crosses the host->device boundary per batch and runs a Python loop
+per spectrum. Here one epoch is a single compiled program:
+
+    lax.scan over shuffled batch indices
+      -> gather batch from the resident dataset
+      -> value_and_grad of the masked likelihood (whole batch at once)
+      -> reference-normalized gradients -> Adam update -> clip
+
+Epoch-boundary behaviors (per-epoch Adam counter, periodic smoothing and
+checkpointing, negative-loss early stop) live in the outer Python loop, as
+they do in the reference.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..data.loader import ResidualDataset, batch_indices
+from ..models.params import (
+    DEFAULT_BOUNDS,
+    ParamBounds,
+    QFAParams,
+    clip_params,
+    save_npz,
+    smooth_params,
+)
+from ..models.qfa import ModelOptions, loss_and_grads
+from . import adam
+
+Array = jnp.ndarray
+
+__all__ = ["TrainConfig", "TrainState", "train_epoch", "fit", "make_epoch_fn"]
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Static training configuration."""
+
+    n_epochs: int = 500
+    batch_size: int = 500
+    learning_rate: float = 1e-3
+    weight_decay: float = 0.1
+    decay_alpha: float = 0.9
+    decay_step: int = 10
+    smooth_interval: int = 5
+    save_interval: int = 5
+    reference_norm: bool = True  #: per-element nonzero-count grad averaging.
+    stop_on_negative_loss: bool = True
+    options: ModelOptions = ModelOptions()
+    bounds: ParamBounds = DEFAULT_BOUNDS
+
+    def adam_config(self) -> adam.AdamConfig:
+        return adam.AdamConfig(
+            learning_rate=self.learning_rate,
+            weight_decay=self.weight_decay,
+            decay_alpha=self.decay_alpha,
+            decay_step=self.decay_step,
+        )
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclass
+class TrainState:
+    """Mutable training state (a pytree: donate/jit/shard freely)."""
+
+    params: QFAParams
+    opt_state: adam.AdamState
+
+    def tree_flatten(self):
+        return (self.params, self.opt_state), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+
+def make_epoch_fn(
+    config: TrainConfig,
+) -> Callable[[TrainState, ResidualDataset, Array], tuple[TrainState, Array]]:
+    """Build the jitted one-epoch function: scan of batch updates.
+
+    The returned function has signature ``(state, data, idx) -> (state,
+    mean_epoch_loss)`` where ``idx`` is the (n_batches, batch_size) shuffled
+    index matrix for this epoch.
+    """
+    adam_cfg = config.adam_config()
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(state: TrainState, data: ResidualDataset, idx: Array):
+        def batch_step(carry: TrainState, batch_idx):
+            batch = data.gather(batch_idx)
+            loss, grads = loss_and_grads(
+                carry.params,
+                batch,
+                config.options,
+                reference_norm=config.reference_norm,
+            )
+            new_params, new_opt = adam.apply_update(
+                carry.params, grads, carry.opt_state, adam_cfg
+            )
+            new_params = clip_params(new_params, config.bounds)
+            return TrainState(new_params, new_opt), loss
+
+        state, losses = jax.lax.scan(batch_step, state, idx)
+        return (
+            TrainState(state.params, adam.next_epoch(state.opt_state)),
+            jnp.mean(losses),
+        )
+
+    return epoch_fn
+
+
+def train_epoch(
+    state: TrainState,
+    data: ResidualDataset,
+    key: jax.Array,
+    config: TrainConfig,
+    epoch_fn=None,
+) -> tuple[TrainState, float]:
+    """Run one shuffled epoch; returns (state, mean loss)."""
+    if epoch_fn is None:
+        epoch_fn = make_epoch_fn(config)
+    idx = batch_indices(key, data.size, config.batch_size)
+    state, loss = epoch_fn(state, data, idx)
+    return state, float(loss)
+
+
+def fit(
+    params: QFAParams,
+    data: ResidualDataset,
+    mu,
+    config: TrainConfig,
+    *,
+    key: jax.Array | None = None,
+    output_dir: str | None = None,
+    logger: logging.Logger | None = None,
+    metrics_cb: Callable[[int, float, float], None] | None = None,
+) -> tuple[QFAParams, list]:
+    """Full training run with reference epoch-boundary semantics.
+
+    Smoothing every ``smooth_interval`` epochs, checkpoints every
+    ``save_interval`` epochs (npz schema), early stop when the epoch loss
+    goes negative (then smooth + save + break,
+    ``/root/reference/QFA/model.py:222-231``).
+
+    Returns (final params, per-epoch loss history).
+    """
+    key = jax.random.key(0) if key is None else key
+    state = TrainState(params, adam.init(params))
+    epoch_fn = make_epoch_fn(config)
+    history: list = []
+
+    for epoch in range(config.n_epochs):
+        key, sub = jax.random.split(key)
+        t0 = time.perf_counter()
+        state, loss = train_epoch(state, data, sub, config, epoch_fn)
+        dt = time.perf_counter() - t0
+        history.append(loss)
+        msg = (
+            f"epoch: {epoch:03d}/{config.n_epochs:03d}  ;  "
+            f"loss:  {loss:.2f}  ;  time:  {dt:.2f} s"
+        )
+        if logger is not None:
+            logger.info(msg)
+        if metrics_cb is not None:
+            metrics_cb(epoch, loss, dt)
+
+        ckpt = epoch + 1
+        if config.stop_on_negative_loss and loss < 0.0:
+            state.params = smooth_params(state.params)
+            if output_dir:
+                save_npz(
+                    f"{output_dir}/checkpoints/model_parameters_epoch_{ckpt:02d}.npz",
+                    state.params,
+                    mu,
+                )
+            break
+        if ckpt % config.smooth_interval == 0:
+            state.params = smooth_params(state.params)
+        if output_dir and ckpt % config.save_interval == 0:
+            save_npz(
+                f"{output_dir}/checkpoints/model_parameters_epoch_{ckpt:02d}.npz",
+                state.params,
+                mu,
+            )
+
+    return state.params, history
