@@ -1,0 +1,127 @@
+"""Benchmark: training + inference throughput of the TPU-native QFA.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...}
+
+Baseline (BASELINE.md, measured from the PyTorch reference on CPU):
+    * training likelihood+gradient: 2.4 spectra/s
+    * single-spectrum inference: 5.5 spectra/s
+
+The benchmark runs the full SDSS-scale problem (Npix=1913, Nb=720, Nh=8)
+on synthetic data drawn from the generative model: a complete training
+epoch (likelihood + autodiff gradient + reference-normalized Adam update +
+clip, batched) and the batched inference pipeline (NLL + posterior +
+continuum + uncertainty).
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+TRAIN_BASELINE = 2.4  # spectra/s, reference hot loop on 1 CPU core
+INFER_BASELINE = 5.5  # spectra/s, reference predict path on 1 CPU core
+
+
+def time_call(fn, *args, iters=3):
+    out = fn(*args)
+    jax.block_until_ready(out)
+    best = float("inf")
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - t0)
+    return best, out
+
+
+def main() -> None:
+    import qfa_tpu
+    from qfa_tpu.data.loader import ResidualDataset, batch_indices
+    from qfa_tpu.data.synthetic import generate
+    from qfa_tpu.models import predict, random_init
+    from qfa_tpu.train import TrainConfig, TrainState, adam
+    from qfa_tpu.train.loop import make_epoch_fn
+
+    grid = qfa_tpu.make_grid()
+    nh = 8
+    n_spectra = 65536
+    batch_size = 4096
+
+    key = jax.random.key(0)
+    params = random_init(key, grid.npix, grid.nb, nh)
+    mu = jnp.ones((grid.npix,), jnp.float32)
+
+    gen = jax.jit(
+        lambda k: generate(k, params, mu, grid, n_spectra, mask_frac=0.1)
+    )
+    syn = gen(jax.random.key(1))
+    to_batch = jax.jit(lambda s: s.to_batch(mu))
+    full = to_batch(syn)
+    data = ResidualDataset(
+        delta=full.delta, error=full.error, zabs=full.zabs, mask=full.mask
+    )
+    jax.block_until_ready(data.delta)
+
+    # ---- training epoch throughput --------------------------------------
+    config = TrainConfig(batch_size=batch_size)
+    epoch_fn = make_epoch_fn(config)
+
+    def run_epoch(state, idx):
+        return epoch_fn(state, data, idx)
+
+    idx = batch_indices(jax.random.key(2), n_spectra, batch_size)
+    state = TrainState(params, adam.init(params))
+    # warmup/compile (state is donated; keep the returned one)
+    state, _ = run_epoch(state, idx)
+    jax.block_until_ready(state.params.F)
+    times = []
+    for trial in range(3):
+        idx = batch_indices(jax.random.key(3 + trial), n_spectra, batch_size)
+        t0 = time.perf_counter()
+        state, loss = run_epoch(state, idx)
+        jax.block_until_ready(state.params.F)
+        times.append(time.perf_counter() - t0)
+    train_dt = min(times)
+    train_rate = n_spectra / train_dt
+
+    # ---- inference throughput -------------------------------------------
+    infer_b = 8192
+    flux = syn.flux[:infer_b]
+    error = syn.error[:infer_b]
+    zabs = syn.zabs[:infer_b]
+    mask = syn.mask[:infer_b]
+
+    # note: `params` was donated into the epoch function — use the live copy
+    infer_params = state.params
+    infer_dt, _ = time_call(
+        lambda: predict(infer_params, mu, flux, error, zabs, mask)
+    )
+    infer_rate = infer_b / infer_dt
+
+    result = {
+        "metric": "train_spectra_per_sec_per_chip",
+        "value": round(train_rate, 1),
+        "unit": "spectra/s",
+        "vs_baseline": round(train_rate / TRAIN_BASELINE, 1),
+        "extras": {
+            "platform": str(jax.devices()[0]),
+            "npix": grid.npix,
+            "nh": nh,
+            "batch_size": batch_size,
+            "epoch_spectra": n_spectra,
+            "epoch_seconds": round(train_dt, 4),
+            "final_epoch_loss": float(loss),
+            "infer_spectra_per_sec": round(infer_rate, 1),
+            "infer_vs_baseline": round(infer_rate / INFER_BASELINE, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -89,7 +89,12 @@ def generate(
     zqso = jax.random.uniform(
         k_z, (n,), minval=z_range[0], maxval=z_range[1], dtype=jnp.float32
     )
-    zabs = jnp.asarray(grid.zabs(np.asarray(zqso)), jnp.float32)
+    # traceable zabs (same formula as WavelengthGrid.zabs) so the whole
+    # generator can run under jit with the grid closed over
+    blue = jnp.asarray(grid.blue, jnp.float32)
+    from .grid import LYA_WAVELENGTH
+
+    zabs = (1.0 + zqso)[:, None] * blue / LYA_WAVELENGTH - 1.0
     h = jax.random.normal(k_h, (n, nh), jnp.float32)
     continuum = mu + h @ params.F.T
 
