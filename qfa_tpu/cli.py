@@ -1,0 +1,209 @@
+"""Command-line driver: ``python -m qfa_tpu.cli --cfg ... --type train|predict``.
+
+Workflow mirrors the reference driver (``/root/reference/main.py``): config
+from yaml + flags, config.yaml/log.txt dumped to the output dir, train and
+predict modes — implemented on the TPU-native stack (device-resident data,
+jit epoch scan, data-parallel mesh when more than one device is visible).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import ConfigNode, get_config
+
+__all__ = ["build_parser", "main", "run_train", "run_predict"]
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description="TPU-native Quasar Factor Analysis (train / predict)"
+    )
+    p.add_argument("--cfg", type=str, help="yaml configuration file")
+    p.add_argument("--type", type=str, help="mode: train or predict")
+    p.add_argument("--catalog", type=str, help="catalog csv (file,snr,z,num_mask)")
+    p.add_argument("--data_dir", type=str, help="directory with spectra npz files")
+    p.add_argument("--output_dir", type=str, help="run output directory")
+    p.add_argument("--data_num", type=int, help="number of training spectra")
+    p.add_argument("--validation_catalog", type=str)
+    p.add_argument("--validation_num", type=int)
+    p.add_argument("--validation_dir", type=str)
+    p.add_argument("--validation", type=bool)
+    p.add_argument("--batch_size", type=int)
+    p.add_argument("--n_epochs", type=int)
+    p.add_argument("--nh", type=int, help="number of latent factors")
+    p.add_argument("--tau", type=str, help="mean optical depth law")
+    p.add_argument("--learning_rate", type=float)
+    p.add_argument("--weight_decay", type=float)
+    p.add_argument("--decay_alpha", type=float)
+    p.add_argument("--decay_step", type=int)
+    p.add_argument("--snr_min", type=float)
+    p.add_argument("--snr_max", type=float)
+    p.add_argument("--z_min", type=float)
+    p.add_argument("--z_max", type=float)
+    p.add_argument("--num_mask", type=int)
+    p.add_argument("--nprocs", type=int)
+    p.add_argument("--resume", type=str, help="checkpoint npz to resume from")
+    p.add_argument("--seed", type=int)
+    p.add_argument(
+        "--opts", nargs="*", default=None, help="KEY.SUBKEY VALUE override pairs"
+    )
+    return p
+
+
+def _load_training_data(cfg: ConfigNode, grid):
+    from .data.loader import (
+        SpectraDataset,
+        estimate_mu,
+        make_residuals,
+        select_from_catalog,
+    )
+
+    paths = select_from_catalog(
+        cfg.DATA.CATALOG,
+        cfg.DATA.DATA_DIR,
+        cfg.DATA.DATA_NUM,
+        snr_min=cfg.DATA.SNR_MIN,
+        snr_max=cfg.DATA.SNR_MAX,
+        z_min=cfg.DATA.Z_MIN,
+        z_max=cfg.DATA.Z_MAX,
+        num_mask=cfg.DATA.NUM_MASK,
+        seed=cfg.SEED,
+        output_dir=cfg.DATA.OUTPUT_DIR,
+        prefix="train",
+    )
+    if cfg.DATA.VALIDATION and os.path.exists(cfg.DATA.VALIDATION_CATALOG):
+        paths += select_from_catalog(
+            cfg.DATA.VALIDATION_CATALOG,
+            cfg.DATA.VALIDATION_DIR,
+            cfg.DATA.VALIDATION_NUM,
+            snr_min=cfg.DATA.SNR_MIN,
+            snr_max=cfg.DATA.SNR_MAX,
+            z_min=cfg.DATA.Z_MIN,
+            z_max=cfg.DATA.Z_MAX,
+            num_mask=cfg.DATA.NUM_MASK,
+            seed=cfg.SEED + 1,
+            output_dir=cfg.DATA.OUTPUT_DIR,
+            prefix="validation",
+        )
+    dataset = SpectraDataset.from_paths(paths, max_workers=cfg.DATA.NPROCS)
+    mu = estimate_mu(
+        dataset, grid, tau_which=cfg.MODEL.TAU, window=cfg.TRAIN.WINDOW_LENGTH_FOR_MU
+    )
+    residuals = make_residuals(dataset, grid, mu, tau_which=cfg.MODEL.TAU)
+    return dataset, mu, residuals
+
+
+def run_train(cfg: ConfigNode) -> None:
+    from .data.grid import make_grid
+    from .models import load_npz, random_init, save_npz
+    from .models.qfa import ModelOptions
+    from .train import TrainConfig, fit
+    from .utils.logging import MetricsWriter, make_logger, setup_run_dir
+
+    out = setup_run_dir(cfg.DATA.OUTPUT_DIR, cfg)
+    logger = make_logger(out)
+    grid = make_grid(cfg.DATA.LAMMIN, cfg.DATA.LAMMAX, cfg.DATA.LOGLAM_DELTA)
+
+    dataset, mu, residuals = _load_training_data(cfg, grid)
+    logger.info(
+        "loaded %d spectra (grid npix=%d nb=%d)", dataset.size, grid.npix, grid.nb
+    )
+
+    if cfg.MODEL.RESUME and os.path.exists(cfg.MODEL.RESUME):
+        # NOTE: unlike the reference (which re-randomizes after loading,
+        # /root/reference/main.py:83), resume actually resumes here.
+        params, _ = load_npz(cfg.MODEL.RESUME, compat_c0_bug=cfg.MODEL.COMPAT_C0_BUG)
+        logger.info("resumed parameters from %s", cfg.MODEL.RESUME)
+    else:
+        params = random_init(
+            jax.random.key(cfg.SEED), grid.npix, grid.nb, cfg.MODEL.NH
+        )
+
+    train_cfg = TrainConfig(
+        n_epochs=cfg.TRAIN.NEPOCHS,
+        batch_size=cfg.DATA.BATCH_SIZE,
+        learning_rate=cfg.TRAIN.LEARNING_RATE,
+        weight_decay=cfg.TRAIN.WEIGHT_DECAY,
+        decay_alpha=cfg.TRAIN.DECAY_ALPHA,
+        decay_step=cfg.TRAIN.DECAY_STEP,
+        smooth_interval=cfg.TRAIN.SMOOTH_INTERVAL,
+        save_interval=cfg.TRAIN.SAVE_INTERVAL,
+        reference_norm=cfg.TRAIN.REFERENCE_NORM,
+        options=ModelOptions(tau_which=cfg.MODEL.TAU),
+    )
+    with MetricsWriter(out) as metrics:
+        params, history = fit(
+            params,
+            residuals,
+            mu,
+            train_cfg,
+            key=jax.random.key(cfg.SEED),
+            output_dir=out,
+            logger=logger,
+            metrics_cb=lambda e, loss, dt: metrics.write(
+                epoch=e, loss=loss, seconds=dt,
+                spectra_per_s=round(residuals.size / max(dt, 1e-9), 1),
+            ),
+        )
+    save_npz(os.path.join(out, "model_parameters.npz"), params, mu)
+    logger.info("training done: %d epochs, final loss %.3f", len(history),
+                history[-1] if history else float("nan"))
+
+
+def run_predict(cfg: ConfigNode) -> None:
+    import pandas as pd
+
+    from .data.grid import make_grid
+    from .data.loader import SpectraDataset
+    from .infer.predict import predict_dataset, write_npz_outputs
+    from .models import load_npz
+    from .models.qfa import ModelOptions
+    from .utils.logging import make_logger, setup_run_dir
+
+    out = setup_run_dir(cfg.DATA.OUTPUT_DIR, cfg)
+    logger = make_logger(out)
+    grid = make_grid(cfg.DATA.LAMMIN, cfg.DATA.LAMMAX, cfg.DATA.LOGLAM_DELTA)
+
+    files = pd.read_csv(cfg.DATA.CATALOG, header=None).values.squeeze(-1)
+    paths = [os.path.join(cfg.DATA.DATA_DIR, str(f)) for f in np.atleast_1d(files)]
+    dataset = SpectraDataset.from_paths(paths, max_workers=cfg.DATA.NPROCS)
+    params, mu = load_npz(cfg.MODEL.RESUME, compat_c0_bug=cfg.MODEL.COMPAT_C0_BUG)
+
+    t0 = time.time()
+    result = predict_dataset(
+        params,
+        jnp.asarray(mu),
+        dataset,
+        grid,
+        batch_size=min(cfg.DATA.BATCH_SIZE, 4096),
+        options=ModelOptions(tau_which=cfg.MODEL.TAU),
+    )
+    write_npz_outputs(result, dataset.paths, os.path.join(out, "predict"))
+    dt = time.time() - t0
+    logger.info(
+        "predicted %d spectra in %.2f s (%.1f spectra/s)",
+        dataset.size, dt, dataset.size / max(dt, 1e-9),
+    )
+    print(f"Finish predicting {dataset.size} spectra in {dt:.2f} seconds...")
+
+
+def main(argv=None) -> None:
+    args = build_parser().parse_args(argv)
+    cfg = get_config(args)
+    if cfg.TYPE == "train":
+        run_train(cfg)
+    elif cfg.TYPE == "predict":
+        run_predict(cfg)
+    else:
+        raise SystemExit(f"TYPE must be 'train' or 'predict', got {cfg.TYPE!r}")
+
+
+if __name__ == "__main__":
+    main()

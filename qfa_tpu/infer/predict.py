@@ -1,0 +1,108 @@
+"""Batch inference pipeline: continuum prediction + OOD scoring at scale.
+
+The reference predicts one spectrum at a time in a Python loop and writes an
+npz per spectrum (``/root/reference/main.py:86-100``). Here prediction runs
+in fixed-size padded device batches through one compiled program; outputs are
+streamed back and written per spectrum in the same npz schema
+(``ll, hmean, hcov, cont, uncertainty``) for drop-in compatibility, plus an
+optional consolidated single-file output.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.grid import WavelengthGrid
+from ..data.loader import SpectraDataset
+from ..models.params import QFAParams
+from ..models.qfa import ModelOptions, PredictResult, predict
+
+Array = jnp.ndarray
+
+__all__ = ["predict_dataset", "write_npz_outputs", "ood_scores"]
+
+
+def _batched(n: int, batch: int) -> Iterator[tuple[int, int]]:
+    for start in range(0, n, batch):
+        yield start, min(start + batch, n)
+
+
+def predict_dataset(
+    params: QFAParams,
+    mu: Array,
+    dataset: SpectraDataset,
+    grid: WavelengthGrid,
+    *,
+    batch_size: int = 1024,
+    options: ModelOptions = ModelOptions(),
+) -> PredictResult:
+    """Predict continua for a whole dataset in fixed-size padded batches.
+
+    Every batch reuses one compiled program (the tail batch is padded up to
+    ``batch_size``). Returns stacked host-side results for all ``N`` spectra.
+    """
+    n = dataset.size
+    zabs_all = grid.zabs(dataset.zqso).astype(np.float32)
+    outs: list[PredictResult] = []
+    for start, end in _batched(n, batch_size):
+        b = end - start
+        pad = batch_size - b
+
+        def prep(x: np.ndarray) -> Array:
+            x = x[start:end]
+            if pad:
+                x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            return jnp.asarray(x)
+
+        res = predict(
+            params,
+            mu,
+            prep(dataset.flux.astype(np.float32)),
+            prep(dataset.error.astype(np.float32)),
+            prep(zabs_all),
+            prep(dataset.mask.astype(np.float32)),
+            options,
+        )
+        outs.append(jax.tree.map(lambda a: np.asarray(a[:b]), res))
+    return PredictResult(
+        *(np.concatenate([getattr(o, f) for o in outs]) for f in PredictResult._fields)
+    )
+
+
+def write_npz_outputs(
+    result: PredictResult,
+    paths: Sequence[str],
+    output_dir: str,
+) -> None:
+    """Write one npz per spectrum in the reference output schema
+    (keys ``ll, hmean, hcov, cont, uncertainty``;
+    ``/root/reference/main.py:94-98``)."""
+    os.makedirs(output_dir, exist_ok=True)
+    for i, p in enumerate(paths):
+        name = os.path.basename(str(p))
+        np.savez(
+            os.path.join(output_dir, name),
+            ll=np.float32(result.ll[i]),
+            hmean=np.asarray(result.hmean[i], np.float32)[:, None],
+            hcov=np.asarray(result.hcov[i], np.float32),
+            cont=np.asarray(result.continuum[i], np.float32),
+            uncertainty=np.asarray(result.continuum_std[i], np.float32),
+        )
+
+
+def ood_scores(result: PredictResult, n_obs: np.ndarray | None = None) -> np.ndarray:
+    """Out-of-distribution score per spectrum.
+
+    The marginal NLL is the reference's OOD statistic (``README.md:18-19`` of
+    the reference); optionally normalized per observed pixel so spectra with
+    different masking are comparable.
+    """
+    ll = np.asarray(result.ll)
+    if n_obs is None:
+        return ll
+    return ll / np.maximum(np.asarray(n_obs), 1.0)

@@ -1,0 +1,157 @@
+"""End-to-end CLI integration: synthetic survey on disk -> train -> predict.
+
+Exercises the full workflow of the reference driver (catalog filtering, npz
+reading, mu estimation, training with checkpoints, prediction outputs) on a
+small synthetic survey written to a temp dir.
+"""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+import qfa_tpu
+from qfa_tpu.cli import main
+from qfa_tpu.data.synthetic import generate
+from qfa_tpu.models import load_npz, random_init
+
+GRID_ARGS = dict(lam_min=1030.0, lam_max=1120.0, dloglam=5e-4)
+
+
+@pytest.fixture(scope="module")
+def survey(tmp_path_factory):
+    """Write a tiny synthetic survey: spectra npz files + catalog csv."""
+    root = tmp_path_factory.mktemp("survey")
+    grid = qfa_tpu.make_grid(**GRID_ARGS)
+    true = random_init(jax.random.key(0), grid.npix, grid.nb, 3)
+    mu = jnp.ones((grid.npix,), jnp.float32) * 1.2
+    n = 48
+    syn = generate(jax.random.key(1), true, mu, grid, n, mask_frac=0.1)
+
+    data_dir = root / "spectra"
+    data_dir.mkdir()
+    rows = []
+    flux = np.asarray(syn.flux)
+    err = np.asarray(syn.error)
+    mask = np.asarray(syn.mask) > 0
+    z = np.asarray(syn.zqso)
+    for i in range(n):
+        f = np.where(mask[i], flux[i], -999.0)
+        e = np.where(mask[i], err[i], -999.0)
+        fname = f"spec-{i:04d}.npz"
+        np.savez(data_dir / fname, flux=f, error=e, z=z[i])
+        rows.append(
+            dict(file=fname, snr=10.0, z=float(z[i]), num_mask=0)
+        )
+    catalog = root / "catalog.csv"
+    pd.DataFrame(rows).to_csv(catalog, index=False)
+    return root, str(catalog), str(data_dir), grid
+
+
+def _grid_opts():
+    return [
+        "DATA.LAMMIN", str(GRID_ARGS["lam_min"]),
+        "DATA.LAMMAX", str(GRID_ARGS["lam_max"]),
+        "DATA.LOGLAM_DELTA", str(GRID_ARGS["dloglam"]),
+    ]
+
+
+def test_train_cli_end_to_end(survey):
+    root, catalog, data_dir, grid = survey
+    out = str(root / "train_out")
+    main(
+        [
+            "--type", "train",
+            "--catalog", catalog,
+            "--data_dir", data_dir,
+            "--output_dir", out,
+            "--data_num", "32",
+            "--batch_size", "16",
+            "--n_epochs", "4",
+            "--nh", "3",
+            "--learning_rate", "0.01",
+            "--num_mask", "40",
+            "--opts", "TRAIN.WEIGHT_DECAY", "0.0",
+            "TRAIN.SAVE_INTERVAL", "2",
+            "TRAIN.SMOOTH_INTERVAL", "2",
+            *_grid_opts(),
+        ]
+    )
+    # workflow artifacts (reference parity): config dump, log, catalogs
+    assert os.path.exists(f"{out}/config.yaml")
+    assert os.path.exists(f"{out}/log.txt")
+    assert os.path.exists(f"{out}/train-catalog.csv")
+    assert os.path.exists(f"{out}/metrics.jsonl")
+    # checkpoints on the save interval + final parameters
+    assert os.path.exists(f"{out}/checkpoints/model_parameters_epoch_02.npz")
+    assert os.path.exists(f"{out}/model_parameters.npz")
+    params, mu = load_npz(f"{out}/model_parameters.npz")
+    assert params.F.shape == (grid.npix, 3)
+    assert np.isfinite(np.asarray(params.F)).all()
+    assert np.isfinite(np.asarray(mu)).all()
+
+
+def test_predict_cli_end_to_end(survey):
+    root, catalog, data_dir, grid = survey
+    train_out = str(root / "train_out")
+    ckpt = f"{train_out}/model_parameters.npz"
+    assert os.path.exists(ckpt), "train test must run first"
+
+    # predict catalog: plain file list (reference predict-mode format)
+    files = sorted(os.listdir(data_dir))[:8]
+    pred_catalog = str(root / "predict-catalog.csv")
+    pd.Series(files).to_csv(pred_catalog, header=False, index=False)
+
+    out = str(root / "predict_out")
+    main(
+        [
+            "--type", "predict",
+            "--catalog", pred_catalog,
+            "--data_dir", data_dir,
+            "--output_dir", out,
+            "--resume", ckpt,
+            "--batch_size", "4",
+            "--nh", "3",
+            "--opts", *_grid_opts(),
+        ]
+    )
+    for f in files:
+        path = os.path.join(out, "predict", f)
+        assert os.path.exists(path), f
+        with np.load(path) as r:
+            assert set(r.files) == {"ll", "hmean", "hcov", "cont", "uncertainty"}
+            assert r["cont"].shape == (grid.npix,)
+            assert r["hcov"].shape == (3, 3)
+            assert np.isfinite(r["ll"])
+
+
+def test_predict_outputs_match_direct_api(survey):
+    """CLI npz outputs must equal the direct predict() API results."""
+    root, catalog, data_dir, grid = survey
+    out = str(root / "predict_out")
+    ckpt = str(root / "train_out" / "model_parameters.npz")
+    from qfa_tpu.models import predict
+
+    params, mu = load_npz(ckpt)
+    fname = sorted(os.listdir(data_dir))[0]
+    with np.load(os.path.join(data_dir, fname)) as f:
+        flux, error, z = f["flux"], f["error"], float(f["z"])
+    mask = (flux != -999.0) & (error != -999.0)
+    flux = np.where(mask, flux, 0.0)
+    error = np.where(mask, error, 0.0)
+    zabs = jnp.asarray(grid.zabs(np.array([z])), jnp.float32)
+    res = predict(
+        params, mu,
+        jnp.asarray(flux, jnp.float32)[None],
+        jnp.asarray(error, jnp.float32)[None],
+        zabs,
+        jnp.asarray(mask)[None],
+    )
+    with np.load(os.path.join(out, "predict", fname)) as r:
+        assert float(r["ll"]) == pytest.approx(float(res.ll[0]), abs=1e-3)
+        np.testing.assert_allclose(
+            r["cont"], np.asarray(res.continuum[0]), atol=1e-4
+        )

@@ -1,0 +1,136 @@
+"""Data layer: npz reading, catalog selection, mu estimation, residuals,
+batching."""
+
+import numpy as np
+import pandas as pd
+import jax
+import jax.numpy as jnp
+import pytest
+
+import qfa_tpu
+from qfa_tpu.data.loader import (
+    MISSING,
+    SpectraDataset,
+    batch_indices,
+    estimate_mu,
+    make_residuals,
+    read_spectrum,
+    select_from_catalog,
+)
+from qfa_tpu.physics import smooth_curve, tau_total
+
+
+@pytest.fixture(scope="module")
+def grid():
+    return qfa_tpu.make_grid(1030.0, 1100.0, 1e-3)
+
+
+def write_spec(path, npix, z, rng, n_missing=0):
+    flux = rng.uniform(0.5, 2.0, npix)
+    error = rng.uniform(0.05, 0.2, npix)
+    if n_missing:
+        sel = rng.choice(npix, n_missing, replace=False)
+        flux[sel] = MISSING
+        error[sel] = MISSING
+    np.savez(path, flux=flux, error=error, z=z)
+    return flux, error
+
+
+def test_read_spectrum_sanitizes_sentinels(tmp_path, grid):
+    rng = np.random.default_rng(0)
+    p = tmp_path / "s.npz"
+    write_spec(p, grid.npix, 2.5, rng, n_missing=7)
+    flux, error, mask, z = read_spectrum(str(p))
+    assert mask.sum() == grid.npix - 7
+    assert z == 2.5
+    # no sentinel leaks into the arrays
+    assert (flux != MISSING).all() and (error != MISSING).all()
+    assert (flux[~mask] == 0).all() and (error[~mask] == 0).all()
+
+
+def test_dataset_from_paths_parallel_read(tmp_path, grid):
+    rng = np.random.default_rng(1)
+    paths = []
+    for i in range(12):
+        p = tmp_path / f"s{i}.npz"
+        write_spec(p, grid.npix, 2.0 + 0.1 * i, rng, n_missing=i)
+        paths.append(str(p))
+    ds = SpectraDataset.from_paths(paths, max_workers=4)
+    assert ds.size == 12 and ds.npix == grid.npix
+    np.testing.assert_allclose(ds.zqso, 2.0 + 0.1 * np.arange(12), rtol=1e-6)
+    assert (~ds.mask).sum() == sum(range(12))
+
+
+def test_catalog_selection_filters_and_samples(tmp_path):
+    cat = pd.DataFrame(
+        dict(
+            file=[f"f{i}.npz" for i in range(20)],
+            snr=np.linspace(1, 20, 20),
+            z=np.linspace(1.5, 4.0, 20),
+            num_mask=[0] * 10 + [5] * 10,
+        )
+    )
+    cat_path = tmp_path / "cat.csv"
+    cat.to_csv(cat_path, index=False)
+    paths = select_from_catalog(
+        str(cat_path), "/data", 5,
+        snr_min=2, snr_max=100, z_min=2, z_max=3.5, num_mask=0, seed=0,
+        output_dir=str(tmp_path), prefix="train",
+    )
+    assert len(paths) == 5
+    assert all(p.startswith("/data/") for p in paths)
+    assert (tmp_path / "train-catalog.csv").exists()
+    # oversampling with replacement when the cut is too small
+    many = select_from_catalog(
+        str(cat_path), "/data", 50,
+        snr_min=2, snr_max=100, z_min=2, z_max=3.5, num_mask=0, seed=0,
+    )
+    assert len(many) == 50
+
+
+def test_mu_estimate_matches_direct_formula(tmp_path, grid):
+    rng = np.random.default_rng(2)
+    n = 16
+    flux = rng.uniform(0.5, 2.0, (n, grid.npix)).astype(np.float32)
+    mask = rng.uniform(size=(n, grid.npix)) > 0.1
+    flux = np.where(mask, flux, 0.0).astype(np.float32)
+    error = np.where(mask, 0.1, 0.0).astype(np.float32)
+    z = rng.uniform(2.2, 3.0, n).astype(np.float32)
+    ds = SpectraDataset(flux=flux, error=error, mask=mask, zqso=z, paths=())
+    mu = estimate_mu(ds, grid, compat_denominator=False)
+
+    taus = np.asarray(tau_total(jnp.asarray(grid.wav), jnp.asarray(z)))
+    de = np.concatenate([np.exp(taus), np.ones((n, grid.nr))], axis=1)
+    raw = (flux * de * mask).sum(0) / np.maximum(mask.sum(0), 1)
+    np.testing.assert_allclose(mu, smooth_curve(raw, 16), rtol=1e-4, atol=1e-5)
+
+
+def test_residuals_zero_on_masked_and_match_formula(grid):
+    rng = np.random.default_rng(3)
+    n = 8
+    mask = rng.uniform(size=(n, grid.npix)) > 0.2
+    flux = np.where(mask, rng.uniform(0.5, 2, (n, grid.npix)), 0).astype(np.float32)
+    error = np.where(mask, 0.1, 0).astype(np.float32)
+    z = rng.uniform(2.2, 3.0, n).astype(np.float32)
+    ds = SpectraDataset(flux=flux, error=error, mask=mask, zqso=z, paths=())
+    mu = np.linspace(0.8, 1.5, grid.npix).astype(np.float32)
+    res = make_residuals(ds, grid, mu)
+    assert res.delta.shape == (n, grid.npix)
+    assert res.zabs.shape == (n, grid.nb)
+    d = np.asarray(res.delta)
+    assert (d[~mask] == 0).all()
+    taus = np.asarray(tau_total(jnp.asarray(grid.wav), jnp.asarray(z)))
+    absorb = np.concatenate([np.exp(-taus), np.ones((n, grid.nr))], 1)
+    expect = (flux - mu * absorb) * mask
+    np.testing.assert_allclose(d, expect.astype(np.float32), atol=2e-6)
+
+
+def test_batch_indices_cover_epoch():
+    idx = batch_indices(jax.random.key(0), 100, 25)
+    assert idx.shape == (4, 25)
+    assert sorted(np.asarray(idx).ravel().tolist()) == list(range(100))
+    idx2 = batch_indices(jax.random.key(1), 100, 25)
+    assert not np.array_equal(np.asarray(idx), np.asarray(idx2))
+    # remainder dropped
+    idx3 = batch_indices(jax.random.key(0), 103, 25)
+    assert idx3.shape == (4, 25)

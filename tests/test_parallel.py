@@ -1,0 +1,113 @@
+"""Multi-chip data parallelism on the 8-virtual-device CPU mesh.
+
+Validates the SPMD training path: sharded resident dataset, per-shard
+shuffling, psum'd gradient/count statistics — against the single-device
+implementation on identical batch composition.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import qfa_tpu
+from qfa_tpu.data.batch import SpectraBatch
+from qfa_tpu.data.loader import ResidualDataset
+from qfa_tpu.data.synthetic import generate
+from qfa_tpu.models import loss_and_grads, random_init
+from qfa_tpu.parallel import (
+    make_dp_epoch_fn,
+    make_mesh,
+    shard_dataset,
+    shard_epoch_indices,
+)
+from qfa_tpu.train import TrainConfig, TrainState, adam
+from qfa_tpu.train.loop import make_epoch_fn
+
+
+NDEV = 8
+
+
+@pytest.fixture(scope="module")
+def problem():
+    grid = qfa_tpu.make_grid(1030.0, 1080.0, 1e-3)
+    true = random_init(jax.random.key(0), grid.npix, grid.nb, 4)
+    mu = jnp.ones((grid.npix,), jnp.float32)
+    syn = generate(jax.random.key(1), true, mu, grid, 128, mask_frac=0.15)
+    b = syn.to_batch(mu)
+    data = ResidualDataset(delta=b.delta, error=b.error, zabs=b.zabs, mask=b.mask)
+    return grid, data
+
+
+def fresh_state(grid, nh=4, seed=2):
+    p = random_init(jax.random.key(seed), grid.npix, grid.nb, nh)
+    return TrainState(p, adam.init(p))
+
+
+def test_device_count():
+    assert jax.device_count() == NDEV
+
+
+def test_dataset_sharding_layout(problem):
+    grid, data = problem
+    mesh = make_mesh(NDEV)
+    sharded = shard_dataset(data, mesh)
+    shard_shapes = {
+        s.data.shape for s in sharded.delta.addressable_shards
+    }
+    assert shard_shapes == {(128 // NDEV, grid.npix)}
+
+
+def test_dp_epoch_matches_single_device_update(problem):
+    """One DP epoch with the same *global* batch composition must produce the
+    same parameters as the single-device epoch (up to float32 reduction
+    order)."""
+    grid, data = problem
+    mesh = make_mesh(NDEV)
+    cfg = TrainConfig(batch_size=32, learning_rate=1e-2, weight_decay=0.01)
+
+    # DP path
+    sharded = shard_dataset(data, mesh)
+    idx = shard_epoch_indices(jax.random.key(5), data.size, cfg.batch_size, mesh)
+    st_dp, loss_dp = make_dp_epoch_fn(cfg, mesh)(
+        fresh_state(grid), sharded, idx
+    )
+
+    # Single-device path with the SAME global batches: device d's local
+    # indices map to global rows d*shard + i.
+    shard = data.size // NDEV
+    idx_host = np.asarray(jax.device_get(idx))  # (ndev, n_batches, local)
+    n_batches = idx_host.shape[1]
+    global_idx = np.concatenate(
+        [idx_host[d] + d * shard for d in range(NDEV)], axis=1
+    )  # (n_batches, batch)
+    st_1, loss_1 = make_epoch_fn(cfg)(
+        fresh_state(grid), data, jnp.asarray(global_idx)
+    )
+
+    assert float(loss_dp) == pytest.approx(float(loss_1), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(st_dp.params), jax.tree.leaves(st_1.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
+        )
+
+
+def test_dp_scales_to_smaller_mesh(problem):
+    grid, data = problem
+    mesh = make_mesh(4)
+    cfg = TrainConfig(batch_size=32, learning_rate=1e-2)
+    sharded = shard_dataset(data, mesh)
+    idx = shard_epoch_indices(jax.random.key(6), data.size, cfg.batch_size, mesh)
+    st, loss = make_dp_epoch_fn(cfg, mesh)(fresh_state(grid), sharded, idx)
+    assert np.isfinite(float(loss))
+    for leaf in jax.tree.leaves(st.params):
+        assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_shard_epoch_indices_validation(problem):
+    _, data = problem
+    mesh = make_mesh(NDEV)
+    with pytest.raises(ValueError):
+        shard_epoch_indices(jax.random.key(0), 127, 32, mesh)  # n not divisible
+    with pytest.raises(ValueError):
+        shard_epoch_indices(jax.random.key(0), 128, 30, mesh)  # batch not divisible

@@ -1,0 +1,114 @@
+"""Training loop: end-to-end convergence on synthetic data, epoch-boundary
+semantics (smoothing, checkpoints, early stop)."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import qfa_tpu
+from qfa_tpu.data.loader import ResidualDataset
+from qfa_tpu.data.synthetic import generate
+from qfa_tpu.models import QFAParams, batch_nll, mean_nll, random_init
+from qfa_tpu.train import TrainConfig, fit
+
+
+@pytest.fixture(scope="module")
+def problem():
+    grid = qfa_tpu.make_grid(1030.0, 1090.0, 1e-3)
+    true = random_init(jax.random.key(0), grid.npix, grid.nb, 3)
+    # make the ground truth less trivial than the init constants
+    true = true._replace(
+        Psi=jnp.full((grid.npix,), 0.3),
+        omega=jnp.full((grid.nb,), 0.5),
+    )
+    mu = jnp.full((grid.npix,), 1.1, jnp.float32)
+    syn = generate(jax.random.key(1), true, mu, grid, 512, mask_frac=0.1)
+    b = syn.to_batch(mu)
+    data = ResidualDataset(delta=b.delta, error=b.error, zabs=b.zabs, mask=b.mask)
+    return grid, true, mu, syn, data
+
+
+def test_training_converges_toward_truth(problem):
+    """Loss under the trained params must approach the loss under the true
+    generating params (the generative-model recovery test, SURVEY.md §4)."""
+    grid, true, mu, syn, data = problem
+    cfg = TrainConfig(
+        n_epochs=40,
+        batch_size=128,
+        learning_rate=2e-2,
+        weight_decay=0.0,
+        smooth_interval=1000,
+        save_interval=1000,
+        stop_on_negative_loss=False,
+    )
+    params0 = random_init(jax.random.key(9), grid.npix, grid.nb, 3)
+    full_batch = syn.to_batch(mu)
+
+    loss0 = float(mean_nll(params0, full_batch))
+    loss_true = float(mean_nll(true, full_batch))
+    params, history = fit(params0, data, mu, cfg, key=jax.random.key(10))
+    loss_final = float(mean_nll(params, full_batch))
+
+    assert history[-1] < history[0], "training must reduce the loss"
+    # close most of the gap between random init and the generating params
+    assert (loss0 - loss_final) > 0.85 * (loss0 - loss_true), (
+        loss0, loss_final, loss_true,
+    )
+
+
+def test_checkpoints_and_history(problem, tmp_path):
+    grid, _, mu, _, data = problem
+    cfg = TrainConfig(
+        n_epochs=4, batch_size=128, learning_rate=1e-2, weight_decay=0.0,
+        smooth_interval=2, save_interval=2, stop_on_negative_loss=False,
+    )
+    params0 = random_init(jax.random.key(3), grid.npix, grid.nb, 3)
+    out = str(tmp_path / "run")
+    params, history = fit(params0, data, mu, cfg, output_dir=out)
+    assert len(history) == 4
+    assert os.path.exists(f"{out}/checkpoints/model_parameters_epoch_02.npz")
+    assert os.path.exists(f"{out}/checkpoints/model_parameters_epoch_04.npz")
+
+
+def test_early_stop_on_negative_loss(problem, tmp_path):
+    """A dataset with tiny residuals drives the NLL negative -> early stop +
+    smooth + save (reference semantics)."""
+    grid, _, mu, _, _ = problem
+    n = 128
+    nb = grid.nb
+    tiny = ResidualDataset(
+        delta=jnp.zeros((n, grid.npix)) + 1e-4,
+        error=jnp.full((n, grid.npix), 1e-3),
+        zabs=jnp.full((n, nb), 2.5),
+        mask=jnp.ones((n, grid.npix)),
+    )
+    cfg = TrainConfig(
+        n_epochs=50, batch_size=64, learning_rate=1e-2, weight_decay=0.0,
+        smooth_interval=1000, save_interval=1000,
+    )
+    params0 = random_init(jax.random.key(4), grid.npix, grid.nb, 3)
+    out = str(tmp_path / "early")
+    params, history = fit(params0, tiny, mu, cfg, output_dir=out)
+    assert len(history) < 50, "must early-stop"
+    assert history[-1] < 0
+    ckpts = os.listdir(f"{out}/checkpoints")
+    assert len(ckpts) == 1  # the early-stop save
+
+
+def test_clip_active_during_training(problem):
+    grid, _, mu, _, data = problem
+    cfg = TrainConfig(
+        n_epochs=2, batch_size=128, learning_rate=0.5,  # huge LR forces clipping
+        weight_decay=0.0, smooth_interval=1000, save_interval=1000,
+        stop_on_negative_loss=False,
+    )
+    params0 = random_init(jax.random.key(5), grid.npix, grid.nb, 3)
+    params, _ = fit(params0, data, mu, cfg)
+    assert float(jnp.min(params.Psi)) >= 1e-3
+    assert float(jnp.max(params.Psi)) <= 2.0
+    assert float(jnp.min(params.omega)) >= 1e-3
+    assert 0.0 <= float(params.tau0) <= 1.0
+    assert 0.1 <= float(params.beta) <= 5.0
