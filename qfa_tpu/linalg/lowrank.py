@@ -39,6 +39,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from . import smallchol
+
 Array = jnp.ndarray
 
 LOG_2PI = 1.8378770664093453
@@ -126,28 +128,35 @@ def factorize(
 
     Returns:
         :class:`LowRankFactors` with leading dims ``...``.
+
+    TPU note: every per-spectrum contraction — the Nh x Nh capacitance, the
+    Nh data projection, and the three scalar reductions (quad / logdet_d /
+    n_obs) — is packed into ONE stacked GEMM
+    ``(..., 5, Npix) @ (Npix, Nh^2 + Nh + 1)`` so the whole factorization is
+    a single MXU kernel plus one fused elementwise producer. The unused
+    cross terms cost FLOPs the MXU has to spare; kernel launches it does not.
     """
+    npix, nh = f.shape
     if gram is None:
         gram = gram_matrix(f)
-    weights = amp * amp * dinv
-    k = batched_capacitance(gram, weights, precision=precision)
-    u = amp * dinv * delta
-    w = jnp.matmul(u, f, precision=precision, preferred_element_type=jnp.float32)
-    quad = jnp.sum(delta * delta * dinv, axis=-1)
-    logdet_d = jnp.sum(log_d, axis=-1)
-    n_obs = jnp.sum(mask, axis=-1)
-    chol = jnp.linalg.cholesky(k)
+    weights = amp * amp * dinv  # -> K
+    u = amp * dinv * delta  # -> w
+    q = delta * delta * dinv  # -> quad
+    # stacked LHS: one GEMM row per contraction
+    lhs = jnp.stack([weights, u, q, log_d, mask], axis=-2)  # (..., 5, Npix)
+    ones = jnp.ones((npix, 1), f.dtype)
+    rhs = jnp.concatenate([gram, f, ones], axis=1)  # (Npix, nh*nh + nh + 1)
+    out = jnp.matmul(
+        lhs, rhs, precision=precision, preferred_element_type=jnp.float32
+    )  # (..., 5, nh*nh + nh + 1)
+    k = out[..., 0, : nh * nh].reshape(out.shape[:-2] + (nh, nh))
+    k = k + jnp.eye(nh, dtype=k.dtype)
+    w = out[..., 1, nh * nh : nh * nh + nh]
+    quad = out[..., 2, -1]
+    logdet_d = out[..., 3, -1]
+    n_obs = out[..., 4, -1]
+    chol = smallchol.cholesky_small(k)
     return LowRankFactors(chol=chol, w=w, quad=quad, logdet_d=logdet_d, n_obs=n_obs)
-
-
-def _chol_solve(chol: Array, b: Array) -> Array:
-    """Solve ``K x = b`` given the lower Cholesky of K (batched)."""
-    y = lax.linalg.triangular_solve(
-        chol, b, left_side=True, lower=True, transpose_a=False
-    )
-    return lax.linalg.triangular_solve(
-        chol, y, left_side=True, lower=True, transpose_a=True
-    )
 
 
 def nll(factors: LowRankFactors) -> Array:
@@ -160,13 +169,9 @@ def nll(factors: LowRankFactors) -> Array:
     (Reference computes the same quantity with dense matrices,
     ``/root/reference/QFA/model.py:132-135``.)
     """
-    y = lax.linalg.triangular_solve(
-        factors.chol, factors.w[..., None], left_side=True, lower=True
-    )[..., 0]
+    y = smallchol.solve_lower_small(factors.chol, factors.w)
     mahal = factors.quad - jnp.sum(y * y, axis=-1)
-    logdet_k = 2.0 * jnp.sum(
-        jnp.log(jnp.diagonal(factors.chol, axis1=-2, axis2=-1)), axis=-1
-    )
+    logdet_k = smallchol.logdet_from_chol(factors.chol)
     return 0.5 * (mahal + factors.n_obs * LOG_2PI + factors.logdet_d + logdet_k)
 
 
@@ -180,12 +185,8 @@ def solve_posterior(factors: LowRankFactors) -> tuple[Array, Array]:
     Returns:
         (hmean, hcov) with shapes (..., Nh) and (..., Nh, Nh).
     """
-    nh = factors.chol.shape[-1]
-    eye = jnp.broadcast_to(
-        jnp.eye(nh, dtype=factors.chol.dtype), factors.chol.shape
-    )
-    hcov = _chol_solve(factors.chol, eye)
-    hmean = _chol_solve(factors.chol, factors.w[..., None])[..., 0]
+    hcov = smallchol.inverse_from_chol(factors.chol)
+    hmean = smallchol.chol_solve_small(factors.chol, factors.w)
     return hmean, hcov
 
 
