@@ -118,7 +118,12 @@ def make_dp_epoch_fn(config: TrainConfig, mesh: Mesh) -> Callable:
             )
             new_params = clip_params(new_params, config.bounds)
             loss = total / jnp.maximum(n_real, 1.0)
-            return TrainState(new_params, new_opt), loss
+            new_state = TrainState(new_params, new_opt)
+            if config.reject_nonfinite:
+                from ..train.loop import guard_nonfinite
+
+                new_state, _ok = guard_nonfinite(new_state, carry, loss)
+            return new_state, loss
 
         state, losses = jax.lax.scan(batch_step, state, idx)
         return (

@@ -1,6 +1,25 @@
-"""Training: reference-semantics Adam, jit-compiled epoch loop."""
+"""Training: reference-semantics Adam, jit epoch loop, checkpoints."""
 
 from . import adam
-from .loop import TrainConfig, TrainState, fit, make_epoch_fn, train_epoch
+from .checkpoint import latest_checkpoint, load_state, save_state
+from .loop import (
+    TrainConfig,
+    TrainState,
+    fit,
+    guard_nonfinite,
+    make_epoch_fn,
+    train_epoch,
+)
 
-__all__ = ["adam", "TrainConfig", "TrainState", "fit", "make_epoch_fn", "train_epoch"]
+__all__ = [
+    "adam",
+    "latest_checkpoint",
+    "load_state",
+    "save_state",
+    "TrainConfig",
+    "TrainState",
+    "fit",
+    "guard_nonfinite",
+    "make_epoch_fn",
+    "train_epoch",
+]

@@ -39,7 +39,30 @@ from . import adam
 
 Array = jnp.ndarray
 
-__all__ = ["TrainConfig", "TrainState", "train_epoch", "fit", "make_epoch_fn"]
+__all__ = [
+    "TrainConfig",
+    "TrainState",
+    "train_epoch",
+    "fit",
+    "make_epoch_fn",
+    "guard_nonfinite",
+]
+
+
+def guard_nonfinite(new_state, old_state, loss):
+    """Failure detection: reject an update that produced non-finite values.
+
+    Returns the new state when the loss and every new parameter are finite,
+    otherwise the old state (the optimizer moments are rolled back too, so a
+    poisoned batch leaves no trace). All-elementwise — fuses into the update.
+    """
+    ok = jnp.isfinite(loss)
+    for leaf in jax.tree.leaves(new_state.params):
+        ok = jnp.logical_and(ok, jnp.all(jnp.isfinite(leaf)))
+    guarded = jax.tree.map(
+        lambda n, o: jnp.where(ok, n, o), new_state, old_state
+    )
+    return guarded, ok
 
 
 @dataclass(frozen=True)
@@ -56,6 +79,7 @@ class TrainConfig:
     save_interval: int = 5
     reference_norm: bool = True  #: per-element nonzero-count grad averaging.
     stop_on_negative_loss: bool = True
+    reject_nonfinite: bool = True  #: skip updates whose loss/params go NaN/Inf.
     options: ModelOptions = ModelOptions()
     bounds: ParamBounds = DEFAULT_BOUNDS
 
@@ -109,7 +133,10 @@ def make_epoch_fn(
                 carry.params, grads, carry.opt_state, adam_cfg
             )
             new_params = clip_params(new_params, config.bounds)
-            return TrainState(new_params, new_opt), loss
+            new_state = TrainState(new_params, new_opt)
+            if config.reject_nonfinite:
+                new_state, _ok = guard_nonfinite(new_state, carry, loss)
+            return new_state, loss
 
         state, losses = jax.lax.scan(batch_step, state, idx)
         return (

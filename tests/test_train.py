@@ -112,3 +112,63 @@ def test_clip_active_during_training(problem):
     assert float(jnp.min(params.omega)) >= 1e-3
     assert 0.0 <= float(params.tau0) <= 1.0
     assert 0.1 <= float(params.beta) <= 5.0
+
+
+def test_nonfinite_update_rejected(problem):
+    """A poisoned batch (NaN delta) must not move parameters or moments."""
+    import jax.numpy as jnp
+    from qfa_tpu.train import TrainState, adam
+    from qfa_tpu.train.loop import make_epoch_fn
+    from qfa_tpu.data.loader import batch_indices
+
+    grid, _, mu, _, data = problem
+    bad = data._replace(
+        delta=data.delta.at[0, 0].set(jnp.nan)
+    )
+    cfg = TrainConfig(
+        n_epochs=1, batch_size=data.size, learning_rate=1e-2,
+        weight_decay=0.0, stop_on_negative_loss=False,
+    )
+    params0 = random_init(jax.random.key(7), grid.npix, grid.nb, 3)
+    st = TrainState(params0, adam.init(params0))
+    idx = batch_indices(jax.random.key(0), data.size, data.size)
+    st2, loss = make_epoch_fn(cfg)(st, bad, idx)
+    # loss is NaN but parameters stayed exactly at init
+    assert not np.isfinite(float(loss))
+    params_ref = random_init(jax.random.key(7), grid.npix, grid.nb, 3)
+    np.testing.assert_array_equal(np.asarray(st2.params.F), np.asarray(params_ref.F))
+    np.testing.assert_array_equal(np.asarray(st2.opt_state.m.F), 0.0)
+
+
+def test_full_state_checkpoint_roundtrip(problem, tmp_path):
+    from qfa_tpu.train import TrainState, adam, load_state, save_state, latest_checkpoint
+    from qfa_tpu.train.loop import make_epoch_fn
+    from qfa_tpu.data.loader import batch_indices
+
+    grid, _, mu, _, data = problem
+    cfg = TrainConfig(n_epochs=1, batch_size=128, learning_rate=1e-2,
+                      weight_decay=0.0, stop_on_negative_loss=False)
+    params0 = random_init(jax.random.key(8), grid.npix, grid.nb, 3)
+    st = TrainState(params0, adam.init(params0))
+    idx = batch_indices(jax.random.key(1), data.size, cfg.batch_size)
+    epoch_fn = make_epoch_fn(cfg)
+    st, _ = epoch_fn(st, data, idx)
+
+    path = str(tmp_path / "ck" / "state_epoch_0001.npz")
+    save_state(path, st, mu)
+    st2, mu2 = load_state(path)
+    assert int(st2.opt_state.epoch) == int(st.opt_state.epoch) == 1
+    for a, b in zip(jax.tree.leaves(st.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(st.opt_state.m), jax.tree.leaves(st2.opt_state.m)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(mu2), np.asarray(mu), rtol=1e-6)
+
+    # resumed trajectory == uninterrupted trajectory
+    idx2 = batch_indices(jax.random.key(2), data.size, cfg.batch_size)
+    st_cont, _ = epoch_fn(st, data, idx2)
+    idx2b = batch_indices(jax.random.key(2), data.size, cfg.batch_size)
+    st_res, _ = epoch_fn(st2, data, idx2b)
+    for a, b in zip(jax.tree.leaves(st_cont.params), jax.tree.leaves(st_res.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+    assert latest_checkpoint(str(tmp_path / "ck")) == path
