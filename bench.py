@@ -89,19 +89,18 @@ def main() -> None:
     train_dt = min(times)
     train_rate = n_spectra / train_dt
 
-    # ---- inference throughput -------------------------------------------
-    infer_b = 8192
-    flux = syn.flux[:infer_b]
-    error = syn.error[:infer_b]
-    zabs = syn.zabs[:infer_b]
-    mask = syn.mask[:infer_b]
+    # ---- inference throughput (scanned over the resident dataset) --------
+    from qfa_tpu.infer import predict_resident
 
     # note: `params` was donated into the epoch function — use the live copy
     infer_params = state.params
     infer_dt, _ = time_call(
-        lambda: predict(infer_params, mu, flux, error, zabs, mask)
+        lambda: predict_resident(
+            infer_params, mu, syn.flux, syn.error, syn.zabs, syn.mask,
+            batch_size=batch_size,
+        )
     )
-    infer_rate = infer_b / infer_dt
+    infer_rate = n_spectra / infer_dt
 
     result = {
         "metric": "train_spectra_per_sec_per_chip",

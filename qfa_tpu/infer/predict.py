@@ -24,7 +24,12 @@ from ..models.qfa import ModelOptions, PredictResult, predict
 
 Array = jnp.ndarray
 
-__all__ = ["predict_dataset", "write_npz_outputs", "ood_scores"]
+__all__ = [
+    "predict_dataset",
+    "predict_resident",
+    "write_npz_outputs",
+    "ood_scores",
+]
 
 
 def _batched(n: int, batch: int) -> Iterator[tuple[int, int]]:
@@ -72,6 +77,47 @@ def predict_dataset(
     return PredictResult(
         *(np.concatenate([getattr(o, f) for o in outs]) for f in PredictResult._fields)
     )
+
+
+from functools import partial
+
+
+@partial(jax.jit, static_argnames=("batch_size", "options"))
+def predict_resident(
+    params: QFAParams,
+    mu: Array,
+    flux: Array,
+    error: Array,
+    zabs: Array,
+    mask: Array,
+    *,
+    batch_size: int = 4096,
+    options: ModelOptions = ModelOptions(),
+) -> PredictResult:
+    """High-throughput prediction over a device-resident dataset.
+
+    One compiled ``lax.scan`` over contiguous batches — amortizes dispatch
+    and keeps all traffic on-device (use :func:`predict_dataset` for
+    host-side datasets / per-file npz output). ``N`` must be a multiple of
+    ``batch_size`` (pad with masked rows otherwise).
+    """
+    n = flux.shape[0]
+    if n % batch_size:
+        raise ValueError(f"N={n} must be a multiple of batch_size={batch_size}")
+    n_batches = n // batch_size
+
+    def reshape(x):
+        return x.reshape((n_batches, batch_size) + x.shape[1:])
+
+    def step(_, xs):
+        fl, er, za, mk = xs
+        res = predict(params, mu, fl, er, za, mk, options)
+        return None, res
+
+    _, results = jax.lax.scan(
+        step, None, (reshape(flux), reshape(error), reshape(zabs), reshape(mask))
+    )
+    return jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), results)
 
 
 def write_npz_outputs(

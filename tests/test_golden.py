@@ -121,3 +121,27 @@ def test_batched_prediction_consistent(golden):
         np.asarray(res3.continuum[0]), np.asarray(res1.continuum[0]), atol=1e-5
     )
     assert float(res3.ll[1]) != pytest.approx(float(res1.ll[0]), abs=1e-2)
+
+
+@requires_reference
+def test_predict_resident_matches_predict(golden):
+    """The scanned resident-data inference path must equal direct predict."""
+    from qfa_tpu.infer import predict_resident
+
+    spec, params, mu, flux, error, zabs, mask = golden
+    flux4 = jnp.concatenate([flux, flux * 1.1, flux * 0.9, flux], axis=0)
+    error4 = jnp.concatenate([error] * 4, axis=0)
+    zabs4 = jnp.concatenate([zabs] * 4, axis=0)
+    mask4 = jnp.concatenate([mask] * 4, axis=0)
+    res_r = predict_resident(
+        params, mu, flux4, error4, zabs4, mask4.astype(jnp.float32),
+        batch_size=2,
+    )
+    res_d = predict(params, mu, flux4, error4, zabs4, mask4)
+    np.testing.assert_allclose(
+        np.asarray(res_r.ll), np.asarray(res_d.ll), atol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(res_r.continuum), np.asarray(res_d.continuum), atol=1e-4
+    )
+    assert float(res_r.ll[0]) == pytest.approx(float(spec["ll"]), abs=5e-3)
