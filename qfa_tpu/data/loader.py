@@ -70,12 +70,28 @@ def read_spectrum(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, float]
 
 
 def read_spectra(
-    paths: Sequence[str], max_workers: int = 16
+    paths: Sequence[str], max_workers: int = 16, engine: str = "auto"
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Read many spectra concurrently into stacked arrays.
 
     Returns (flux, error, mask, zqso) with shapes (N, Npix) x3 and (N,).
+
+    ``engine``: ``"native"`` uses the C++ thread-pool reader
+    (``qfa_tpu.native``, ~6x faster, parses the zip containers directly into
+    the output buffers), ``"python"`` the ThreadPoolExecutor + np.load path,
+    ``"auto"`` prefers native with silent fallback.
     """
+    if engine not in ("auto", "native", "python"):
+        raise ValueError(f"unknown engine {engine!r}")
+    if engine in ("auto", "native") and paths:
+        from .. import native
+
+        if native.native_available():
+            with np.load(paths[0]) as probe:
+                npix = int(probe["flux"].shape[0])
+            return native.read_spectra_native(paths, npix, max_workers)
+        if engine == "native":
+            raise RuntimeError("native reader requested but unavailable")
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
         rows = list(pool.map(read_spectrum, paths))
     flux = np.stack([r[0] for r in rows])
