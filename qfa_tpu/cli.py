@@ -78,8 +78,18 @@ def _load_training_data(cfg: ConfigNode, grid):
         output_dir=cfg.DATA.OUTPUT_DIR,
         prefix="train",
     )
+    dataset = SpectraDataset.from_paths(paths, max_workers=cfg.DATA.NPROCS)
+    mu = estimate_mu(
+        dataset, grid, tau_which=cfg.MODEL.TAU, window=cfg.TRAIN.WINDOW_LENGTH_FOR_MU
+    )
+    residuals = make_residuals(dataset, grid, mu, tau_which=cfg.MODEL.TAU)
+
+    # Held-out validation (the reference concatenates these spectra into the
+    # training arrays, /root/reference/QFA/dataloader.py:81-85; here they are
+    # evaluated, never trained on).
+    val_residuals = None
     if cfg.DATA.VALIDATION and os.path.exists(cfg.DATA.VALIDATION_CATALOG):
-        paths += select_from_catalog(
+        val_paths = select_from_catalog(
             cfg.DATA.VALIDATION_CATALOG,
             cfg.DATA.VALIDATION_DIR,
             cfg.DATA.VALIDATION_NUM,
@@ -92,12 +102,13 @@ def _load_training_data(cfg: ConfigNode, grid):
             output_dir=cfg.DATA.OUTPUT_DIR,
             prefix="validation",
         )
-    dataset = SpectraDataset.from_paths(paths, max_workers=cfg.DATA.NPROCS)
-    mu = estimate_mu(
-        dataset, grid, tau_which=cfg.MODEL.TAU, window=cfg.TRAIN.WINDOW_LENGTH_FOR_MU
-    )
-    residuals = make_residuals(dataset, grid, mu, tau_which=cfg.MODEL.TAU)
-    return dataset, mu, residuals
+        val_dataset = SpectraDataset.from_paths(
+            val_paths, max_workers=cfg.DATA.NPROCS
+        )
+        val_residuals = make_residuals(
+            val_dataset, grid, mu, tau_which=cfg.MODEL.TAU
+        )
+    return dataset, mu, residuals, val_residuals
 
 
 def run_train(cfg: ConfigNode) -> None:
@@ -111,7 +122,14 @@ def run_train(cfg: ConfigNode) -> None:
     logger = make_logger(out)
     grid = make_grid(cfg.DATA.LAMMIN, cfg.DATA.LAMMAX, cfg.DATA.LOGLAM_DELTA)
 
-    dataset, mu, residuals = _load_training_data(cfg, grid)
+    if cfg.RUNTIME.DEBUG_NANS:
+        from .utils.profiling import enable_nan_debugging
+
+        enable_nan_debugging(True)
+    if cfg.RUNTIME.PROFILE_DIR:
+        jax.profiler.start_trace(cfg.RUNTIME.PROFILE_DIR)
+
+    dataset, mu, residuals, val_residuals = _load_training_data(cfg, grid)
     logger.info(
         "loaded %d spectra (grid npix=%d nb=%d)", dataset.size, grid.npix, grid.nb
     )
@@ -151,10 +169,14 @@ def run_train(cfg: ConfigNode) -> None:
                 epoch=e, loss=loss, seconds=dt,
                 spectra_per_s=round(residuals.size / max(dt, 1e-9), 1),
             ),
+            val_data=val_residuals,
         )
     save_npz(os.path.join(out, "model_parameters.npz"), params, mu)
     logger.info("training done: %d epochs, final loss %.3f", len(history),
                 history[-1] if history else float("nan"))
+    if cfg.RUNTIME.PROFILE_DIR:
+        jax.profiler.stop_trace()
+        logger.info("profiler trace written to %s", cfg.RUNTIME.PROFILE_DIR)
 
 
 def run_predict(cfg: ConfigNode) -> None:

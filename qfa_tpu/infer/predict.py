@@ -152,3 +152,25 @@ def ood_scores(result: PredictResult, n_obs: np.ndarray | None = None) -> np.nda
     if n_obs is None:
         return ll
     return ll / np.maximum(np.asarray(n_obs), 1.0)
+
+
+def select_ood(
+    result: PredictResult,
+    *,
+    top_k: int | None = None,
+    quantile: float | None = None,
+    n_obs: np.ndarray | None = None,
+) -> np.ndarray:
+    """OOD selection pass: indices of the most anomalous spectra.
+
+    Rank spectra by (per-pixel-normalized) NLL descending and return either
+    the ``top_k`` indices or everything above the given score ``quantile``.
+    """
+    scores = ood_scores(result, n_obs)
+    order = np.argsort(-scores)
+    if top_k is not None:
+        return order[:top_k]
+    if quantile is not None:
+        cut = np.quantile(scores, quantile)
+        return order[: int(np.sum(scores >= cut))]
+    return order

@@ -172,6 +172,7 @@ def fit(
     output_dir: str | None = None,
     logger: logging.Logger | None = None,
     metrics_cb: Callable[[int, float, float], None] | None = None,
+    val_data: ResidualDataset | None = None,
 ) -> tuple[QFAParams, list]:
     """Full training run with reference epoch-boundary semantics.
 
@@ -180,6 +181,11 @@ def fit(
     goes negative (then smooth + save + break,
     ``/root/reference/QFA/model.py:222-231``).
 
+    ``val_data``: optional held-out set evaluated (mean NLL) after every
+    epoch. NOTE: the reference merely concatenates its "validation" spectra
+    into the training arrays (``/root/reference/QFA/dataloader.py:81-85``);
+    here validation is an actual held-out evaluation.
+
     Returns (final params, per-epoch loss history).
     """
     key = jax.random.key(0) if key is None else key
@@ -187,16 +193,35 @@ def fit(
     epoch_fn = make_epoch_fn(config)
     history: list = []
 
+    val_fn = None
+    if val_data is not None:
+        from ..data.batch import SpectraBatch
+        from ..models.qfa import mean_nll
+
+        @jax.jit
+        def val_fn(p):
+            batch = SpectraBatch(
+                delta=val_data.delta,
+                error=val_data.error,
+                zabs=val_data.zabs,
+                mask=val_data.mask,
+                weight=jnp.ones((val_data.size,), val_data.delta.dtype),
+            )
+            return mean_nll(p, batch, config.options)
+
     for epoch in range(config.n_epochs):
         key, sub = jax.random.split(key)
         t0 = time.perf_counter()
         state, loss = train_epoch(state, data, sub, config, epoch_fn)
         dt = time.perf_counter() - t0
         history.append(loss)
+        val_loss = float(val_fn(state.params)) if val_fn is not None else None
         msg = (
             f"epoch: {epoch:03d}/{config.n_epochs:03d}  ;  "
             f"loss:  {loss:.2f}  ;  time:  {dt:.2f} s"
         )
+        if val_loss is not None:
+            msg += f"  ;  val_loss:  {val_loss:.2f}"
         if logger is not None:
             logger.info(msg)
         if metrics_cb is not None:

@@ -155,3 +155,32 @@ def test_predict_outputs_match_direct_api(survey):
         np.testing.assert_allclose(
             r["cont"], np.asarray(res.continuum[0]), atol=1e-4
         )
+
+
+def test_train_with_validation_holdout(survey):
+    """Validation spectra are evaluated per epoch, never trained on."""
+    root, catalog, data_dir, grid = survey
+    out = str(root / "train_val_out")
+    main(
+        [
+            "--type", "train",
+            "--catalog", catalog,
+            "--data_dir", data_dir,
+            "--output_dir", out,
+            "--data_num", "24",
+            "--batch_size", "8",
+            "--n_epochs", "2",
+            "--nh", "3",
+            "--learning_rate", "0.01",
+            "--num_mask", "40",
+            "--validation_catalog", catalog,
+            "--validation_dir", data_dir,
+            "--validation_num", "8",
+            "--opts", "DATA.VALIDATION", "true",
+            "TRAIN.WEIGHT_DECAY", "0.0",
+            *_grid_opts(),
+        ]
+    )
+    log = open(f"{out}/log.txt").read()
+    assert "val_loss" in log
+    assert os.path.exists(f"{out}/validation-catalog.csv")
