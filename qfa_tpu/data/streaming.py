@@ -1,0 +1,96 @@
+"""Streaming training data path for datasets larger than device memory.
+
+The resident path (``ResidualDataset`` + scanned epochs) is fastest but
+requires the whole survey in HBM (~60 KB/spectrum at SDSS scale — ~250k
+spectra per 16 GB chip). For larger corpora this module keeps the residual
+arrays in host RAM and streams fixed-size batches to the device with a
+prefetch queue, overlapping H2D transfer with compute (``jax.device_put``
+is asynchronous).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .batch import SpectraBatch
+from .grid import WavelengthGrid
+from .loader import SpectraDataset, make_residuals
+
+Array = jnp.ndarray
+
+__all__ = ["HostResiduals", "make_host_residuals", "stream_batches"]
+
+
+class HostResiduals(NamedTuple):
+    """Residual training arrays pinned in host RAM (numpy)."""
+
+    delta: np.ndarray  #: (N, Npix) float32
+    error: np.ndarray  #: (N, Npix) float32
+    zabs: np.ndarray  #: (N, Nb) float32
+    mask: np.ndarray  #: (N, Npix) float32
+
+    @property
+    def size(self) -> int:
+        return self.delta.shape[0]
+
+
+def make_host_residuals(
+    dataset: SpectraDataset,
+    grid: WavelengthGrid,
+    mu: np.ndarray,
+    *,
+    tau_which: str = "becker",
+) -> HostResiduals:
+    """Host-side variant of ``make_residuals`` (no device transfer)."""
+    res = make_residuals(
+        dataset, grid, mu, tau_which=tau_which, device_put=np.asarray
+    )
+    return HostResiduals(
+        delta=np.asarray(res.delta),
+        error=np.asarray(res.error),
+        zabs=np.asarray(res.zabs),
+        mask=np.asarray(res.mask),
+    )
+
+
+def stream_batches(
+    host: HostResiduals,
+    batch_size: int,
+    rng: np.random.Generator,
+    *,
+    prefetch: int = 2,
+    sharding=None,
+) -> Iterator[SpectraBatch]:
+    """Shuffled epoch iterator with asynchronous device prefetch.
+
+    Yields device-side :class:`SpectraBatch` objects; up to ``prefetch``
+    batches are in flight ahead of the consumer. ``sharding`` optionally
+    places each batch on a mesh (e.g. ``NamedSharding(mesh, P('data'))``).
+    """
+    n = host.size
+    n_batches = n // batch_size
+    perm = rng.permutation(n)[: n_batches * batch_size].reshape(
+        n_batches, batch_size
+    )
+    weight = jnp.ones((batch_size,), jnp.float32)
+    if sharding is not None:
+        weight = jax.device_put(weight, sharding)
+
+    def put(i: int) -> SpectraBatch:
+        idx = np.sort(perm[i])  # sorted gather is faster on the host
+        args = (host.delta[idx], host.error[idx], host.zabs[idx], host.mask[idx])
+        if sharding is not None:
+            args = tuple(jax.device_put(a, sharding) for a in args)
+        else:
+            args = tuple(jax.device_put(a) for a in args)
+        return SpectraBatch(*args, weight=weight)
+
+    queue = [put(i) for i in range(min(prefetch, n_batches))]
+    for i in range(n_batches):
+        if i + prefetch < n_batches:
+            queue.append(put(i + prefetch))
+        yield queue.pop(0)

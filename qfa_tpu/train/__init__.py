@@ -6,8 +6,10 @@ from .loop import (
     TrainConfig,
     TrainState,
     fit,
+    fit_streaming,
     guard_nonfinite,
     make_epoch_fn,
+    make_step_fn,
     train_epoch,
 )
 
@@ -19,7 +21,9 @@ __all__ = [
     "TrainConfig",
     "TrainState",
     "fit",
+    "fit_streaming",
     "guard_nonfinite",
     "make_epoch_fn",
+    "make_step_fn",
     "train_epoch",
 ]

@@ -24,6 +24,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..data.loader import ResidualDataset, batch_indices
 from ..models.params import (
@@ -44,7 +45,9 @@ __all__ = [
     "TrainState",
     "train_epoch",
     "fit",
+    "fit_streaming",
     "make_epoch_fn",
+    "make_step_fn",
     "guard_nonfinite",
 ]
 
@@ -106,6 +109,82 @@ class TrainState:
     @classmethod
     def tree_unflatten(cls, aux, children):
         return cls(*children)
+
+
+def make_step_fn(config: TrainConfig):
+    """Single jitted training step ``(state, batch) -> (state, loss)``.
+
+    Used by the streaming path (datasets larger than HBM) where batches
+    arrive from a host prefetch queue instead of a device-resident scan.
+    """
+    adam_cfg = config.adam_config()
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def step_fn(state: TrainState, batch):
+        loss, grads = loss_and_grads(
+            state.params, batch, config.options,
+            reference_norm=config.reference_norm,
+        )
+        new_params, new_opt = adam.apply_update(
+            state.params, grads, state.opt_state, adam_cfg
+        )
+        new_params = clip_params(new_params, config.bounds)
+        new_state = TrainState(new_params, new_opt)
+        if config.reject_nonfinite:
+            new_state, _ok = guard_nonfinite(new_state, state, loss)
+        return new_state, loss
+
+    return step_fn
+
+
+def fit_streaming(
+    params: QFAParams,
+    host_data,
+    mu,
+    config: TrainConfig,
+    *,
+    seed: int = 0,
+    logger: logging.Logger | None = None,
+    prefetch: int = 2,
+    sharding=None,
+) -> tuple[QFAParams, list]:
+    """Training from host RAM with asynchronous batch prefetch.
+
+    Same epoch-boundary semantics as :func:`fit`; use when the residual
+    dataset does not fit in HBM (``host_data`` is a
+    ``qfa_tpu.data.streaming.HostResiduals``).
+    """
+    from ..data.streaming import stream_batches
+
+    state = TrainState(params, adam.init(params))
+    step_fn = make_step_fn(config)
+    rng = np.random.default_rng(seed)
+    history: list = []
+    for epoch in range(config.n_epochs):
+        t0 = time.perf_counter()
+        losses = []
+        for batch in stream_batches(
+            host_data, config.batch_size, rng, prefetch=prefetch,
+            sharding=sharding,
+        ):
+            state, loss = step_fn(state, batch)
+            losses.append(loss)
+        epoch_loss = float(jnp.mean(jnp.stack(losses)))
+        dt = time.perf_counter() - t0
+        history.append(epoch_loss)
+        if logger is not None:
+            logger.info(
+                "epoch: %03d/%03d  ;  loss:  %.2f  ;  time:  %.2f s",
+                epoch, config.n_epochs, epoch_loss, dt,
+            )
+        state = TrainState(state.params, adam.next_epoch(state.opt_state))
+        ckpt = epoch + 1
+        if config.stop_on_negative_loss and epoch_loss < 0.0:
+            state = TrainState(smooth_params(state.params), state.opt_state)
+            break
+        if ckpt % config.smooth_interval == 0:
+            state = TrainState(smooth_params(state.params), state.opt_state)
+    return state.params, history
 
 
 def make_epoch_fn(

@@ -172,3 +172,31 @@ def test_full_state_checkpoint_roundtrip(problem, tmp_path):
     for a, b in zip(jax.tree.leaves(st_cont.params), jax.tree.leaves(st_res.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
     assert latest_checkpoint(str(tmp_path / "ck")) == path
+
+
+def test_fit_streaming_matches_resident_loss_scale(problem):
+    """Streaming (host-prefetch) training must converge like the resident
+    path on the same data."""
+    from qfa_tpu.train import fit_streaming
+    from qfa_tpu.data.streaming import HostResiduals
+
+    grid, _, mu, syn, data = problem
+    host = HostResiduals(
+        delta=np.asarray(data.delta),
+        error=np.asarray(data.error),
+        zabs=np.asarray(data.zabs),
+        mask=np.asarray(data.mask),
+    )
+    cfg = TrainConfig(
+        n_epochs=6, batch_size=128, learning_rate=2e-2, weight_decay=0.0,
+        smooth_interval=1000, save_interval=1000, stop_on_negative_loss=False,
+    )
+    params0 = random_init(jax.random.key(11), grid.npix, grid.nb, 3)
+    params_s, hist_s = fit_streaming(params0, host, mu, cfg, seed=1)
+    assert hist_s[-1] < hist_s[0]
+
+    params0b = random_init(jax.random.key(11), grid.npix, grid.nb, 3)
+    from qfa_tpu.train import fit as fit_resident
+    params_r, hist_r = fit_resident(params0b, data, mu, cfg, key=jax.random.key(1))
+    # different shuffles -> not identical, but same loss scale after 6 epochs
+    assert abs(hist_s[-1] - hist_r[-1]) < 0.05 * abs(hist_r[-1])
