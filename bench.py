@@ -102,6 +102,37 @@ def main() -> None:
     )
     infer_rate = n_spectra / infer_dt
 
+    # ---- DESI-scale training throughput (Npix=9243 grid) ------------------
+    desi_grid = qfa_tpu.make_grid(1113.5772, 1600.0, 1.7029661e-05)
+    assert desi_grid.npix == 9243
+    desi_n, desi_b = 8192, 1024
+    desi_params = random_init(jax.random.key(5), desi_grid.npix, desi_grid.nb, nh)
+    desi_mu = jnp.ones((desi_grid.npix,), jnp.float32)
+    desi_syn = jax.jit(
+        lambda k: generate(k, desi_params, desi_mu, desi_grid, desi_n,
+                           mask_frac=0.1)
+    )(jax.random.key(6))
+    desi_batch = jax.jit(lambda s: s.to_batch(desi_mu))(desi_syn)
+    desi_data = ResidualDataset(
+        delta=desi_batch.delta, error=desi_batch.error,
+        zabs=desi_batch.zabs, mask=desi_batch.mask,
+    )
+    jax.block_until_ready(desi_data.delta)
+    desi_cfg = TrainConfig(batch_size=desi_b)
+    desi_epoch = make_epoch_fn(desi_cfg)
+    dstate = TrainState(desi_params, adam.init(desi_params))
+    didx = batch_indices(jax.random.key(7), desi_n, desi_b)
+    dstate, _ = desi_epoch(dstate, desi_data, didx)
+    jax.block_until_ready(dstate.params.F)
+    desi_times = []
+    for trial in range(2):
+        didx = batch_indices(jax.random.key(8 + trial), desi_n, desi_b)
+        t0 = time.perf_counter()
+        dstate, dloss = desi_epoch(dstate, desi_data, didx)
+        jax.block_until_ready(dstate.params.F)
+        desi_times.append(time.perf_counter() - t0)
+    desi_rate = desi_n / min(desi_times)
+
     result = {
         "metric": "train_spectra_per_sec_per_chip",
         "value": round(train_rate, 1),
@@ -117,6 +148,9 @@ def main() -> None:
             "final_epoch_loss": float(loss),
             "infer_spectra_per_sec": round(infer_rate, 1),
             "infer_vs_baseline": round(infer_rate / INFER_BASELINE, 1),
+            "desi_npix": desi_grid.npix,
+            "desi_train_spectra_per_sec": round(desi_rate, 1),
+            "desi_final_loss": float(dloss),
         },
     }
     print(json.dumps(result))
