@@ -1,0 +1,124 @@
+"""Reference-API compatibility facade: class QFA + class Dataloader."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+import qfa_tpu
+from qfa_tpu.compat import QFA, Dataloader
+from qfa_tpu.config import load_config
+from qfa_tpu.data.synthetic import generate
+from qfa_tpu.models import random_init
+
+from conftest import REFERENCE_DIR, requires_reference
+
+GRID = dict(lam_min=1030.0, lam_max=1120.0, dloglam=5e-4)
+
+
+@pytest.fixture(scope="module")
+def survey(tmp_path_factory):
+    root = tmp_path_factory.mktemp("compat_survey")
+    grid = qfa_tpu.make_grid(**GRID)
+    true = random_init(jax.random.key(0), grid.npix, grid.nb, 3)
+    mu = jnp.ones((grid.npix,), jnp.float32) * 1.2
+    n = 32
+    syn = generate(jax.random.key(1), true, mu, grid, n, mask_frac=0.1)
+    ddir = root / "spectra"
+    ddir.mkdir()
+    rows = []
+    m = np.asarray(syn.mask) > 0
+    for i in range(n):
+        f = np.where(m[i], np.asarray(syn.flux)[i], -999.0)
+        e = np.where(m[i], np.asarray(syn.error)[i], -999.0)
+        np.savez(ddir / f"s{i:03d}.npz", flux=f, error=e, z=float(syn.zqso[i]))
+        rows.append(dict(file=f"s{i:03d}.npz", snr=10.0,
+                         z=float(syn.zqso[i]), num_mask=0))
+    pd.DataFrame(rows).to_csv(root / "catalog.csv", index=False)
+    return root, grid
+
+
+def make_cfg(root, out="", typ="train"):
+    return load_config(opts=[
+        "TYPE", typ,
+        "DATA.CATALOG", str(root / "catalog.csv"),
+        "DATA.DATA_DIR", str(root / "spectra"),
+        "DATA.OUTPUT_DIR", out,
+        "DATA.DATA_NUM", "32",
+        "DATA.BATCH_SIZE", "16",
+        "DATA.NUM_MASK", "40",
+        "DATA.LAMMIN", str(GRID["lam_min"]),
+        "DATA.LAMMAX", str(GRID["lam_max"]),
+        "DATA.LOGLAM_DELTA", str(GRID["dloglam"]),
+    ])
+
+
+def test_dataloader_protocol(survey, tmp_path):
+    root, grid = survey
+    dl = Dataloader(make_cfg(root, str(tmp_path)))
+    assert (dl.Nb, dl.Nr) == (grid.nb, grid.nr)
+    assert len(dl) == 32
+    assert dl.mu.shape == (grid.npix,)
+    dl.rewind()
+    n_batches = 0
+    while dl.have_next_batch():
+        d, e, z, m = dl.next_batch()
+        assert d.shape[-1] == grid.npix and z.shape[-1] == grid.nb
+        n_batches += 1
+    assert n_batches == 2
+    d, e, z, m = dl.sample()  # the reference's sample() crashes; ours works
+    assert d.shape == (16, grid.npix)
+    flux, err, zabs, mask, path = dl[0]
+    assert flux.shape == (grid.npix,)
+    assert str(path).endswith(".npz")
+
+
+def test_qfa_class_forward_and_train(survey, tmp_path):
+    root, grid = survey
+    dl = Dataloader(make_cfg(root, ""))
+    model = QFA(dl.Nb, dl.Nr, 3)
+    dl.rewind()
+    d, e, z, m = dl.next_batch()
+    loss, grads = model.forward(d, e, z, m)
+    assert np.isfinite(float(loss))
+    assert set(grads) == {"F", "Psi", "omega", "tau0", "c0", "beta"}
+
+    ll, g1 = model.loglikelihood_and_gradient_for_single_spectra(
+        d[0], e[0], z[0], m[0]
+    )
+    assert np.isfinite(float(ll))
+
+    out = str(tmp_path / "compat_train")
+    model.train(dataloader=dl, n_epochs=3, output_dir=out,
+                learning_rate=1e-2, weight_decay=0.0, quiet=True)
+    assert model.mu is not None
+    model.save_to_npz(out, "model_parameters.npz")
+    assert os.path.exists(f"{out}/model_parameters.npz")
+
+    # parameters property round trip with clipping on set
+    p = model.parameters
+    p["Psi"] = jnp.full_like(p["Psi"], 99.0)
+    model.parameters = p
+    assert float(jnp.max(model.parameters["Psi"])) <= 2.0
+
+
+@requires_reference
+def test_qfa_class_golden_prediction():
+    """The facade reproduces the reference notebook path end to end."""
+    grid = qfa_tpu.make_grid()
+    model = QFA(grid.nb, grid.nr, 8)
+    model.load_from_npz(
+        f"{REFERENCE_DIR}/data/model_parameters.npz", compat_c0_bug=True
+    )
+    spec = np.load(f"{REFERENCE_DIR}/data/spec-4321-55504-0114.npz")
+    zabs = grid.zabs(np.array([float(spec["z"])]))[0]
+    ll, hmean, hcov, cont, unc = model.prediction_for_single_spectra(
+        spec["flux"], spec["error"], zabs, spec["mask"]
+    )
+    assert float(ll) == pytest.approx(float(spec["ll"]), abs=5e-3)
+    assert hmean.shape == (8, 1)
+    np.testing.assert_allclose(np.asarray(hmean)[:, 0], spec["h"], atol=5e-5)
+    np.testing.assert_allclose(np.asarray(cont), spec["our"], atol=5e-5)

@@ -111,3 +111,49 @@ def test_shard_epoch_indices_validation(problem):
         shard_epoch_indices(jax.random.key(0), 127, 32, mesh)  # n not divisible
     with pytest.raises(ValueError):
         shard_epoch_indices(jax.random.key(0), 128, 30, mesh)  # batch not divisible
+
+
+def test_2d_mesh_data_pix_step_matches_single_device(problem):
+    """The (data, pix) sharded training step must equal the single-device
+    step on the same batch."""
+    from qfa_tpu.parallel.tp import (
+        make_mesh_2d,
+        make_tp_step_fn,
+        shard_batch_2d,
+        shard_params_2d,
+    )
+    from qfa_tpu.data.batch import SpectraBatch
+    from qfa_tpu.train.loop import make_step_fn
+
+    # pixel sharding needs Npix divisible by the pix axis -> dedicated grid
+    grid = qfa_tpu.make_grid(1030.0, 1080.0, 7.4e-4)
+    assert grid.npix % 4 == 0
+    true = random_init(jax.random.key(0), grid.npix, grid.nb, 4)
+    mu = jnp.ones((grid.npix,), jnp.float32)
+    syn = generate(jax.random.key(1), true, mu, grid, 32, mask_frac=0.15)
+    b = syn.to_batch(mu)
+    cfg = TrainConfig(batch_size=32, learning_rate=1e-2, weight_decay=0.01)
+    batch = SpectraBatch(
+        delta=b.delta, error=b.error, zabs=b.zabs, mask=b.mask,
+        weight=jnp.ones((32,), jnp.float32),
+    )
+
+    # single device
+    p0 = random_init(jax.random.key(3), grid.npix, grid.nb, 4)
+    st1, loss1 = make_step_fn(cfg)(TrainState(p0, adam.init(p0)), batch)
+
+    # 2x4 mesh
+    mesh = make_mesh_2d(2, 4)
+    p0b = random_init(jax.random.key(3), grid.npix, grid.nb, 4)
+    state = TrainState(
+        shard_params_2d(p0b, mesh),
+        jax.tree.map(lambda x: x, adam.init(shard_params_2d(p0b, mesh))),
+    )
+    sbatch = shard_batch_2d(batch, mesh)
+    st2, loss2 = make_tp_step_fn(cfg, mesh)(state, sbatch)
+
+    assert float(loss2) == pytest.approx(float(loss1), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(st1.params), jax.tree.leaves(st2.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
+        )
