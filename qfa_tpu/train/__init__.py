@@ -9,7 +9,9 @@ from .loop import (
     fit_streaming,
     guard_nonfinite,
     make_epoch_fn,
+    make_sliced_epoch_fn,
     make_step_fn,
+    reshuffle_dataset,
     train_epoch,
 )
 
@@ -24,6 +26,8 @@ __all__ = [
     "fit_streaming",
     "guard_nonfinite",
     "make_epoch_fn",
+    "make_sliced_epoch_fn",
     "make_step_fn",
+    "reshuffle_dataset",
     "train_epoch",
 ]

@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..data.batch import SpectraBatch
 from ..data.loader import ResidualDataset, batch_indices
 from ..models.params import (
     DEFAULT_BOUNDS,
@@ -47,7 +48,9 @@ __all__ = [
     "fit",
     "fit_streaming",
     "make_epoch_fn",
+    "make_sliced_epoch_fn",
     "make_step_fn",
+    "reshuffle_dataset",
     "guard_nonfinite",
 ]
 
@@ -197,27 +200,94 @@ def make_epoch_fn(
     index matrix for this epoch.
     """
     adam_cfg = config.adam_config()
+    step = _make_batch_step(config, adam_cfg)
 
     @partial(jax.jit, donate_argnums=(0,))
     def epoch_fn(state: TrainState, data: ResidualDataset, idx: Array):
         def batch_step(carry: TrainState, batch_idx):
-            batch = data.gather(batch_idx)
-            loss, grads = loss_and_grads(
-                carry.params,
-                batch,
-                config.options,
-                reference_norm=config.reference_norm,
-            )
-            new_params, new_opt = adam.apply_update(
-                carry.params, grads, carry.opt_state, adam_cfg
-            )
-            new_params = clip_params(new_params, config.bounds)
-            new_state = TrainState(new_params, new_opt)
-            if config.reject_nonfinite:
-                new_state, _ok = guard_nonfinite(new_state, carry, loss)
-            return new_state, loss
+            return step(carry, data.gather(batch_idx))
 
         state, losses = jax.lax.scan(batch_step, state, idx)
+        return (
+            TrainState(state.params, adam.next_epoch(state.opt_state)),
+            jnp.mean(losses),
+        )
+
+    return epoch_fn
+
+
+def _make_batch_step(config: TrainConfig, adam_cfg):
+    def step(carry: TrainState, batch):
+        loss, grads = loss_and_grads(
+            carry.params,
+            batch,
+            config.options,
+            reference_norm=config.reference_norm,
+        )
+        new_params, new_opt = adam.apply_update(
+            carry.params, grads, carry.opt_state, adam_cfg
+        )
+        new_params = clip_params(new_params, config.bounds)
+        new_state = TrainState(new_params, new_opt)
+        if config.reject_nonfinite:
+            new_state, _ok = guard_nonfinite(new_state, carry, loss)
+        return new_state, loss
+
+    return step
+
+
+@partial(jax.jit, donate_argnums=(0,))
+def reshuffle_dataset(data: ResidualDataset, key: jax.Array) -> ResidualDataset:
+    """Physically permute the resident dataset (donating the old buffers).
+
+    Used by the sliced epoch mode: shuffle the data occasionally, serve
+    batches as contiguous slices in between. Measured trade-off on v5e
+    (B=4096, N=65k): slicing saves ~0.8 ms/step over gathering while a full
+    reshuffle costs several epochs' worth of time — so the gathered epoch
+    (exact reference shuffling semantics) remains the default and sliced
+    mode is for very large resident datasets where gather bandwidth
+    dominates harder.
+    """
+    perm = jax.random.permutation(key, data.delta.shape[0])
+    return jax.tree.map(lambda x: jnp.take(x, perm, axis=0), data)
+
+
+def make_sliced_epoch_fn(
+    config: TrainConfig,
+) -> Callable[[TrainState, ResidualDataset, Array], tuple[TrainState, Array]]:
+    """Epoch function serving batches as contiguous slices (zero-copy).
+
+    A random batch gather costs more HBM traffic per step than the entire
+    likelihood (measured ~2.3 ms of a 4.7 ms step at B=4096 on v5e): XLA
+    must materialize the gathered rows. A ``dynamic_slice`` instead fuses
+    into the first consumer — no copy. Composition of batches is fixed
+    between physical reshuffles (:func:`reshuffle_dataset`); shuffle order
+    of the batches is still randomized every epoch via ``offsets``.
+
+    Signature: ``(state, data, offsets) -> (state, mean_loss)`` with
+    ``offsets`` a (n_batches,) int32 array of row offsets (multiples of the
+    batch size, permuted).
+    """
+    adam_cfg = config.adam_config()
+    step = _make_batch_step(config, adam_cfg)
+    b = config.batch_size
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def epoch_fn(state: TrainState, data: ResidualDataset, offsets: Array):
+        weight = jnp.ones((b,), data.delta.dtype)
+
+        def batch_step(carry: TrainState, off):
+            sl = lambda x: jax.lax.dynamic_slice_in_dim(x, off, b, axis=0)
+            batch = SpectraBatch(
+                delta=sl(data.delta),
+                error=sl(data.error),
+                zabs=sl(data.zabs),
+                mask=sl(data.mask),
+                weight=weight,
+            )
+            return step(carry, batch)
+
+        state, losses = jax.lax.scan(batch_step, state, offsets)
         return (
             TrainState(state.params, adam.next_epoch(state.opt_state)),
             jnp.mean(losses),

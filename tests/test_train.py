@@ -200,3 +200,43 @@ def test_fit_streaming_matches_resident_loss_scale(problem):
     params_r, hist_r = fit_resident(params0b, data, mu, cfg, key=jax.random.key(1))
     # different shuffles -> not identical, but same loss scale after 6 epochs
     assert abs(hist_s[-1] - hist_r[-1]) < 0.05 * abs(hist_r[-1])
+
+
+def test_sliced_epoch_matches_gathered_epoch(problem):
+    """Sliced (zero-copy) epochs equal gathered epochs when the gather
+    indices are the same contiguous blocks."""
+    from qfa_tpu.train import TrainState, adam
+    from qfa_tpu.train.loop import (
+        make_epoch_fn,
+        make_sliced_epoch_fn,
+        reshuffle_dataset,
+    )
+
+    grid, _, mu, _, data = problem
+    b = 128
+    n_batches = data.size // b
+    cfg = TrainConfig(batch_size=b, learning_rate=1e-2, weight_decay=0.01)
+
+    order = np.random.default_rng(0).permutation(n_batches)
+    offsets = jnp.asarray(order * b, jnp.int32)
+    idx = jnp.stack([jnp.arange(o, o + b) for o in order * b])
+
+    p0 = random_init(jax.random.key(12), grid.npix, grid.nb, 3)
+    st_g, loss_g = make_epoch_fn(cfg)(TrainState(p0, adam.init(p0)), data, idx)
+    p0b = random_init(jax.random.key(12), grid.npix, grid.nb, 3)
+    st_s, loss_s = make_sliced_epoch_fn(cfg)(
+        TrainState(p0b, adam.init(p0b)), data, offsets
+    )
+    assert float(loss_s) == pytest.approx(float(loss_g), rel=1e-6)
+    for a, c in zip(jax.tree.leaves(st_g.params), jax.tree.leaves(st_s.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=1e-5, atol=1e-7)
+
+    # reshuffle keeps the multiset of rows
+    data2 = reshuffle_dataset(
+        jax.tree.map(jnp.copy, data), jax.random.key(5)
+    )
+    np.testing.assert_allclose(
+        np.sort(np.asarray(data2.delta).ravel()),
+        np.sort(np.asarray(data.delta).ravel()),
+        atol=0,
+    )
