@@ -8,9 +8,9 @@ op here is a single ``pallas_call`` that, per batch tile:
 
 1. builds the absorption amplitude, noise diagonal and masked precision
    (VPU, in registers);
-2. runs the stacked contraction GEMM
-   ``(5*TB, Npix) @ (Npix, RC)`` on the MXU — capacitance K, projection w,
-   quad, logdet_d, n_obs in one pass;
+2. runs the per-row contractions ``(TB, Npix) @ (Npix, RC)`` against a
+   shared ``[Gram | F | ones]`` RHS on the MXU (full f32 precision) —
+   capacitance K, projection w, quad, logdet_d, pixel counts;
 3. factorizes every K with an unrolled Cholesky, solves for the posterior
    mean, and evaluates the per-spectrum NLL;
 4. computes the ANALYTIC backward: with ``M = K^-1``, ``alpha = K^-1 w``,
