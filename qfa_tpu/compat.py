@@ -14,8 +14,7 @@ Arrays in/out are numpy/JAX interchangeably; device placement is implicit
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

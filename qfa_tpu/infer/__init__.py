@@ -1,5 +1,19 @@
 """Inference: batched continuum prediction, OOD scoring, npz outputs."""
 
-from .predict import ood_scores, predict_dataset, predict_resident, write_npz_outputs
+from .predict import (
+    ood_scores,
+    predict_dataset,
+    predict_resident,
+    score_resident,
+    select_ood,
+    write_npz_outputs,
+)
 
-__all__ = ["ood_scores", "predict_dataset", "predict_resident", "write_npz_outputs"]
+__all__ = [
+    "ood_scores",
+    "predict_dataset",
+    "predict_resident",
+    "score_resident",
+    "select_ood",
+    "write_npz_outputs",
+]

@@ -120,6 +120,56 @@ def predict_resident(
     return jax.tree.map(lambda x: x.reshape((n,) + x.shape[2:]), results)
 
 
+@partial(jax.jit, static_argnames=("batch_size", "options"))
+def score_resident(
+    params: QFAParams,
+    mu: Array,
+    flux: Array,
+    error: Array,
+    zabs: Array,
+    mask: Array,
+    *,
+    batch_size: int = 8192,
+    options: ModelOptions = ModelOptions(),
+) -> Array:
+    """OOD scores only (per-spectrum NLL) over a resident dataset.
+
+    The full :func:`predict_resident` writes ~2 x Npix floats per spectrum
+    (continuum + uncertainty); a survey-scale OOD selection pass needs one
+    scalar. This path evaluates just the likelihood — the cheapest possible
+    scan over the data.
+    """
+    from ..data.batch import SpectraBatch
+    from ..models.qfa import absorption, batch_nll, make_delta
+
+    n = flux.shape[0]
+    if n % batch_size:
+        raise ValueError(f"N={n} must be a multiple of batch_size={batch_size}")
+    nb = zabs.shape[-1]
+    nr = flux.shape[-1] - nb
+    n_batches = n // batch_size
+
+    def reshape(x):
+        return x.reshape((n_batches, batch_size) + x.shape[1:])
+
+    def step(_, xs):
+        fl, er, za, mk = xs
+        amp = absorption(za, nr, options.tau_which)
+        batch = SpectraBatch(
+            delta=make_delta(fl, mu, amp, mk),
+            error=er,
+            zabs=za,
+            mask=mk,
+            weight=jnp.ones(fl.shape[:-1], fl.dtype),
+        )
+        return None, batch_nll(params, batch, options)
+
+    _, ll = jax.lax.scan(
+        step, None, (reshape(flux), reshape(error), reshape(zabs), reshape(mask))
+    )
+    return ll.reshape(n)
+
+
 def write_npz_outputs(
     result: PredictResult,
     paths: Sequence[str],

@@ -20,7 +20,6 @@ per-shard permutation is a valid global shuffle for i.i.d. data.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax

@@ -20,7 +20,7 @@ All functions accept and return ``jnp`` arrays and are safe to ``vmap``/
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Callable
 
 import jax.numpy as jnp
 import numpy as np

@@ -16,7 +16,6 @@ import time
 from typing import Any, Iterator
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["trace", "timed", "tree_health", "enable_nan_debugging"]

@@ -76,3 +76,16 @@ def test_sharded_inference_on_mesh(problem):
     np.testing.assert_allclose(
         np.asarray(res.ll), np.asarray(direct.ll), atol=2e-3
     )
+
+
+def test_score_resident_matches_predict(problem):
+    from qfa_tpu.infer import score_resident
+
+    grid, params, mu, syn = problem
+    ll = score_resident(
+        params, mu, syn.flux, syn.error, syn.zabs, syn.mask, batch_size=8
+    )
+    direct = predict(params, mu, syn.flux, syn.error, syn.zabs, syn.mask)
+    np.testing.assert_allclose(
+        np.asarray(ll), np.asarray(direct.ll), atol=2e-3
+    )
