@@ -11,7 +11,8 @@ batched Gram-GEMM capacitance factorization instead of dense Npix x Npix
 inverses, autodiff gradients, data-parallel sharding over a device mesh.
 """
 
-from . import linalg, models, physics
+from . import infer, linalg, models, parallel, physics, train
+from .config import ConfigNode, default_config, load_config
 from .data.batch import SpectraBatch, pad_batch
 from .data.grid import WavelengthGrid, make_grid
 from .models import (
@@ -31,9 +32,15 @@ from .models import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "infer",
     "linalg",
     "models",
+    "parallel",
     "physics",
+    "train",
+    "ConfigNode",
+    "default_config",
+    "load_config",
     "SpectraBatch",
     "pad_batch",
     "WavelengthGrid",
