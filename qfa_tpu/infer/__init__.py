@@ -4,6 +4,7 @@ from .predict import (
     ood_scores,
     predict_dataset,
     predict_resident,
+    sample_posterior_continua,
     score_resident,
     select_ood,
     write_npz_outputs,
@@ -13,6 +14,7 @@ __all__ = [
     "ood_scores",
     "predict_dataset",
     "predict_resident",
+    "sample_posterior_continua",
     "score_resident",
     "select_ood",
     "write_npz_outputs",

@@ -191,6 +191,29 @@ def write_npz_outputs(
         )
 
 
+def sample_posterior_continua(
+    params: QFAParams,
+    mu: Array,
+    result: PredictResult,
+    key: jax.Array,
+    n_samples: int,
+) -> Array:
+    """Draw continuum realizations from the latent posterior.
+
+    ``h ~ N(hmean, hcov)`` per spectrum, mapped through ``F h + mu`` — the
+    library form of the reference notebook's posterior sampling cell
+    (``nb/predict.ipynb`` cell 11, via np.random.multivariate_normal).
+
+    Returns shape ``(n_samples, B, Npix)``.
+    """
+    chol = jnp.linalg.cholesky(result.hcov)  # (B, Nh, Nh)
+    eps = jax.random.normal(
+        key, (n_samples,) + result.hmean.shape, result.hmean.dtype
+    )
+    h = result.hmean + jnp.einsum("bij,sbj->sbi", chol, eps)
+    return jnp.einsum("sbh,ph->sbp", h, params.F) + mu
+
+
 def ood_scores(result: PredictResult, n_obs: np.ndarray | None = None) -> np.ndarray:
     """Out-of-distribution score per spectrum.
 

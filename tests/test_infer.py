@@ -89,3 +89,25 @@ def test_score_resident_matches_predict(problem):
     np.testing.assert_allclose(
         np.asarray(ll), np.asarray(direct.ll), atol=2e-3
     )
+
+
+def test_posterior_continuum_sampling(problem):
+    """Sample mean converges to the posterior continuum; spread reflects
+    hcov."""
+    from qfa_tpu.infer import sample_posterior_continua
+
+    grid, params, mu, syn = problem
+    res = predict(params, mu, syn.flux[:4], syn.error[:4], syn.zabs[:4],
+                  syn.mask[:4])
+    samples = sample_posterior_continua(
+        params, mu, res, jax.random.key(0), 4000
+    )
+    assert samples.shape == (4000, 4, grid.npix)
+    mean = np.asarray(samples.mean(axis=0))
+    np.testing.assert_allclose(
+        mean, np.asarray(res.continuum), atol=0.02
+    )
+    std = np.asarray(samples.std(axis=0))
+    np.testing.assert_allclose(
+        std, np.asarray(res.continuum_std), rtol=0.2, atol=0.01
+    )
