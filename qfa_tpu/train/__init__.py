@@ -9,6 +9,7 @@ from .loop import (
     fit_streaming,
     guard_nonfinite,
     make_epoch_fn,
+    make_pallas_step_fn,
     make_sliced_epoch_fn,
     make_step_fn,
     reshuffle_dataset,
@@ -26,6 +27,7 @@ __all__ = [
     "fit_streaming",
     "guard_nonfinite",
     "make_epoch_fn",
+    "make_pallas_step_fn",
     "make_sliced_epoch_fn",
     "make_step_fn",
     "reshuffle_dataset",

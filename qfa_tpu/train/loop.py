@@ -48,6 +48,7 @@ __all__ = [
     "fit",
     "fit_streaming",
     "make_epoch_fn",
+    "make_pallas_step_fn",
     "make_sliced_epoch_fn",
     "make_step_fn",
     "reshuffle_dataset",
@@ -140,6 +141,50 @@ def make_step_fn(config: TrainConfig):
     return step_fn
 
 
+def make_pallas_step_fn(
+    config: TrainConfig, tile_batch: int = 256, interpret: bool = False
+):
+    """Training step backed by the fused Pallas kernel (``ops.fused_step``).
+
+    One kernel launch computes loss + analytic gradients; the normalization,
+    Adam update, clip and NaN guard fuse into a second elementwise kernel.
+    Same contract as :func:`make_step_fn` — swap it into
+    :func:`fit_streaming` via ``step_fn=``. Note: on toolchains where
+    ``lax.scan`` around a ``pallas_call`` miscompiles (see CLAUDE.md), use
+    this only with Python-driven batch loops, not inside scanned epochs.
+    """
+    from ..models.qfa import normalize_with_counts
+    from ..ops.fused_step import fused_loss_grads
+
+    adam_cfg = config.adam_config()
+
+    @partial(jax.jit, donate_argnums=(0,), static_argnames=())
+    def step_fn(state: TrainState, batch):
+        out = fused_loss_grads(
+            state.params,
+            batch,
+            tau_which=config.options.tau_which,
+            tile_batch=tile_batch,
+            interpret=interpret,
+        )
+        n_real = jnp.maximum(jnp.sum(batch.weight.astype(jnp.float32)), 1.0)
+        loss = out.loss_sum / n_real
+        if config.reference_norm:
+            grads = normalize_with_counts(out.grads, out.counts)
+        else:
+            grads = jax.tree.map(lambda g: g / n_real, out.grads)
+        new_params, new_opt = adam.apply_update(
+            state.params, grads, state.opt_state, adam_cfg
+        )
+        new_params = clip_params(new_params, config.bounds)
+        new_state = TrainState(new_params, new_opt)
+        if config.reject_nonfinite:
+            new_state, _ok = guard_nonfinite(new_state, state, loss)
+        return new_state, loss
+
+    return step_fn
+
+
 def fit_streaming(
     params: QFAParams,
     host_data,
@@ -150,17 +195,20 @@ def fit_streaming(
     logger: logging.Logger | None = None,
     prefetch: int = 2,
     sharding=None,
+    step_fn=None,
 ) -> tuple[QFAParams, list]:
     """Training from host RAM with asynchronous batch prefetch.
 
     Same epoch-boundary semantics as :func:`fit`; use when the residual
     dataset does not fit in HBM (``host_data`` is a
-    ``qfa_tpu.data.streaming.HostResiduals``).
+    ``qfa_tpu.data.streaming.HostResiduals``). ``step_fn`` may override the
+    update engine (e.g. :func:`make_pallas_step_fn`).
     """
     from ..data.streaming import stream_batches
 
     state = TrainState(params, adam.init(params))
-    step_fn = make_step_fn(config)
+    if step_fn is None:
+        step_fn = make_step_fn(config)
     rng = np.random.default_rng(seed)
     history: list = []
     for epoch in range(config.n_epochs):

@@ -94,3 +94,28 @@ def test_uneven_tile_rejected(problem):
     batch = syn.to_batch(mu)  # 16 rows
     with pytest.raises(ValueError):
         fused_loss_grads(params, batch, tile_batch=5, interpret=True)
+
+
+def test_pallas_step_fn_matches_xla_step(problem):
+    """The Pallas-backed training step produces the same update as the XLA
+    step (interpret mode on CPU)."""
+    import qfa_tpu
+    from qfa_tpu.train import TrainConfig, TrainState, adam
+    from qfa_tpu.train.loop import make_pallas_step_fn, make_step_fn
+
+    grid, params, mu, syn = problem
+    batch = syn.to_batch(mu)
+    cfg = TrainConfig(batch_size=16, learning_rate=1e-2, weight_decay=0.01)
+
+    # the step functions donate their state: give each its own copy
+    p1 = jax.tree.map(jnp.copy, params)
+    p2 = jax.tree.map(jnp.copy, params)
+    st_x, loss_x = make_step_fn(cfg)(TrainState(p1, adam.init(p1)), batch)
+    st_p, loss_p = make_pallas_step_fn(cfg, tile_batch=8, interpret=True)(
+        TrainState(p2, adam.init(p2)), batch
+    )
+    assert float(loss_p) == pytest.approx(float(loss_x), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(st_x.params), jax.tree.leaves(st_p.params)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        )
