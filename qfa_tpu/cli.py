@@ -21,6 +21,19 @@ from .config import ConfigNode, get_config
 __all__ = ["build_parser", "main", "run_train", "run_predict"]
 
 
+def _str2bool(value: str) -> bool:
+    """argparse bool: ``--validation False`` must parse as False
+    (``type=bool`` treats any non-empty string as True)."""
+    if isinstance(value, bool):
+        return value
+    low = value.strip().lower()
+    if low in ("1", "true", "yes", "on"):
+        return True
+    if low in ("0", "false", "no", "off"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {value!r}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(
         description="TPU-native Quasar Factor Analysis (train / predict)"
@@ -34,7 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--validation_catalog", type=str)
     p.add_argument("--validation_num", type=int)
     p.add_argument("--validation_dir", type=str)
-    p.add_argument("--validation", type=bool)
+    p.add_argument("--validation", type=_str2bool)
     p.add_argument("--batch_size", type=int)
     p.add_argument("--n_epochs", type=int)
     p.add_argument("--nh", type=int, help="number of latent factors")

@@ -34,7 +34,69 @@ from .models import qfa as qfa_mod
 from .models.params import QFAParams
 from .train import TrainConfig, fit as fit_fn
 
-__all__ = ["QFA", "Dataloader"]
+__all__ = ["QFA", "Dataloader", "Adam", "step_scheduler"]
+
+
+class _StepScheduler:
+    """Reference step-decay schedule with introspectable parameters.
+
+    Callable like the reference's closure
+    (``/root/reference/QFA/optimizer.py:79-99``): ``lr * alpha ** ((i+1) //
+    step)``; exposes ``alpha``/``step`` so :meth:`QFA.train` can recover the
+    decay hyper-parameters from a passed optimizer.
+    """
+
+    def __init__(self, alpha: float, step: int) -> None:
+        self.alpha = float(alpha)
+        self.step = int(step)
+
+    def __call__(self, i, lr):
+        return lr * self.alpha ** ((i + 1) // self.step)
+
+
+def step_scheduler(alpha: float, step: int) -> _StepScheduler:
+    """Reference-API scheduler factory
+    (``/root/reference/QFA/optimizer.py:79-99``)."""
+    return _StepScheduler(alpha, step)
+
+
+class Adam:
+    """Reference-API optimizer shim (``/root/reference/QFA/optimizer.py:11``).
+
+    Holds the hyper-parameters for :meth:`QFA.train`; the actual update runs
+    inside the jit-compiled functional trainer (``qfa_tpu.train.adam``),
+    which reproduces the reference semantics (weight decay folded into
+    grads, per-epoch bias correction, step-decay schedule).
+    """
+
+    def __init__(
+        self,
+        params=None,
+        device=None,
+        scheduler=None,
+        learning_rate: float = 1e-2,
+        b1: float = 0.9,
+        b2: float = 0.999,
+        eps: float = 1e-8,
+        weight_decay: float = 1e-3,
+    ) -> None:
+        self.learning_rate = learning_rate
+        self.b1 = b1
+        self.b2 = b2
+        self.eps = eps
+        self.device = device
+        self.weight_decay = weight_decay
+        self.scheduler = scheduler
+        self.i = 0
+
+    def step(self) -> None:
+        self.i += 1
+
+    @property
+    def scheduled_lr(self):
+        if callable(self.scheduler):
+            return self.scheduler(self.i, self.learning_rate)
+        return self.learning_rate
 
 
 class QFA:
@@ -172,13 +234,22 @@ class QFA:
         """Train on a :class:`Dataloader`'s data.
 
         ``optimizer`` may be None (hyper-parameters are taken from the
-        keyword arguments) or a mapping with the same fields.
+        keyword arguments) or a reference-style/:class:`Adam` optimizer:
+        ``learning_rate``/``weight_decay`` are read from it, and when its
+        ``scheduler`` exposes ``alpha``/``step`` (as
+        :func:`step_scheduler`'s does) the decay schedule is honored too.
+        Schedules passed as opaque closures cannot be introspected — pass
+        ``decay_alpha``/``decay_step`` explicitly in that case.
         """
         if dataloader is None:
             raise ValueError("dataloader is required")
         if optimizer is not None:
             learning_rate = getattr(optimizer, "learning_rate", learning_rate)
             weight_decay = getattr(optimizer, "weight_decay", weight_decay)
+            sched = getattr(optimizer, "scheduler", None)
+            if sched is not None and hasattr(sched, "alpha") and hasattr(sched, "step"):
+                decay_alpha = float(sched.alpha)
+                decay_step = int(sched.step)
         self.mu = jnp.asarray(dataloader.mu, jnp.float32)
         config = TrainConfig(
             n_epochs=n_epochs,
@@ -191,6 +262,15 @@ class QFA:
             save_interval=save_interval,
             options=self._options,
         )
+        # terminal per-epoch print when not quiet, reference format
+        # (/root/reference/QFA/model.py:217-218).
+        metrics_cb = None
+        if not quiet:
+            def metrics_cb(epoch, loss, dt):
+                print(
+                    "epoch: {:03d}/{:03d}  ;  loss:  {:.2f}  ;  "
+                    "time:  {:.2f} s ".format(epoch, n_epochs, loss, dt)
+                )
         params, _history = fit_fn(
             self._params,
             dataloader.residuals(),
@@ -199,6 +279,7 @@ class QFA:
             key=jax.random.key(self._seed),
             output_dir=output_dir,
             logger=logger,
+            metrics_cb=metrics_cb,
         )
         self._params = params
 
@@ -299,6 +380,41 @@ class Dataloader:
     def rewind(self) -> None:
         self._rng.shuffle(self._order)
         self.cur = 0
+
+    def set_tau(self, tau) -> None:
+        """Switch the mean-optical-depth law used for the training residuals.
+
+        Mirrors ``/root/reference/QFA/dataloader.py:169-173``: affects
+        subsequently served batches (the precomputed residual field is
+        rebuilt); ``mu`` keeps the law it was estimated with, exactly as in
+        the reference (mu is computed once at construction). ``tau`` may be
+        a law name (``"becker"``/``"fg"``/``"kamble"``/``"mock"``) or a
+        callable ``tau(wav_grid, zqso) -> (N, Nb)`` like the reference's.
+        """
+        if callable(tau):
+            taus = np.asarray(tau(self.wav_grid, self.zqso), np.float32)
+            absorb = np.concatenate(
+                [np.exp(-taus), np.ones((self.data_size, self.Nr), np.float32)],
+                axis=1,
+            )
+            mask = self.dataset.mask.astype(np.float32)
+            delta = (
+                self.dataset.flux - np.asarray(self._mu, np.float32) * absorb
+            ) * mask
+            self._residuals = self._residuals._replace(
+                delta=jnp.asarray(delta.astype(np.float32))
+            )
+        else:
+            self.tau_which = str(tau)
+            self._residuals = make_residuals(
+                self.dataset, self.grid, self._mu, tau_which=self.tau_which
+            )
+
+    def set_device(self, device) -> None:
+        """Accepted for reference API parity
+        (``/root/reference/QFA/dataloader.py:175-179``); JAX manages device
+        placement, so this only records the request."""
+        self._device = device
 
     def residuals(self) -> ResidualDataset:
         """The device-resident dataset (for the fast functional trainers)."""

@@ -232,7 +232,9 @@ def get_config(args) -> ConfigNode:
     }
     for flag, path in flag_map.items():
         value = getattr(args, flag, None)
-        if value:
+        # `is not None` (not truthiness): explicit falsy values like
+        # --snr_min 0 or --z_min 0 must override the defaults too.
+        if value is not None:
             node = cfg
             for p in path[:-1]:
                 node = node[p]

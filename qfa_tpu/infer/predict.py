@@ -53,6 +53,11 @@ def predict_dataset(
     """
     n = dataset.size
     zabs_all = grid.zabs(dataset.zqso).astype(np.float32)
+    # convert once up front: astype always copies, so doing it per batch
+    # would copy the whole (N, Npix) dataset for every batch (O(N^2/batch)).
+    flux_all = np.ascontiguousarray(dataset.flux, np.float32)
+    error_all = np.ascontiguousarray(dataset.error, np.float32)
+    mask_all = np.ascontiguousarray(dataset.mask, np.float32)
     outs: list[PredictResult] = []
     for start, end in _batched(n, batch_size):
         b = end - start
@@ -67,10 +72,10 @@ def predict_dataset(
         res = predict(
             params,
             mu,
-            prep(dataset.flux.astype(np.float32)),
-            prep(dataset.error.astype(np.float32)),
+            prep(flux_all),
+            prep(error_all),
             prep(zabs_all),
-            prep(dataset.mask.astype(np.float32)),
+            prep(mask_all),
             options,
         )
         outs.append(jax.tree.map(lambda a: np.asarray(a[:b]), res))

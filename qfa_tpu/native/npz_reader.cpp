@@ -111,6 +111,13 @@ bool parse_zip(const std::vector<uint8_t>& buf, std::vector<ZipEntry>& entries,
     uint16_t extra_len = rd16(&buf[p + 30]);
     uint16_t comment_len = rd16(&buf[p + 32]);
     e.local_offset = rd32(&buf[p + 42]);
+    // validate the full record extent before touching the name bytes: a
+    // truncated/corrupt npz with large name/extra/comment lengths must not
+    // read out of bounds.
+    if (p + 46 + size_t(name_len) + extra_len + comment_len > buf.size()) {
+      err = "truncated central directory record";
+      return false;
+    }
     e.name.assign(reinterpret_cast<const char*>(&buf[p + 46]), name_len);
     entries.push_back(std::move(e));
     p += 46 + name_len + extra_len + comment_len;

@@ -72,8 +72,13 @@ def local_shard_size(n: int, mesh: Mesh) -> int:
 def initialize_distributed(**kwargs) -> None:
     """Multi-host entry point: thin wrapper over
     ``jax.distributed.initialize`` (coordinator address etc. from env or
-    kwargs). Safe to call when already initialized."""
+    kwargs). Safe to call when already initialized; every *other* failure
+    (bad coordinator address, timeout, ...) is re-raised — a silently
+    un-initialized multi-host run would train on a fraction of the data.
+    """
     try:
         jax.distributed.initialize(**kwargs)
-    except RuntimeError:
-        pass  # already initialized
+    except RuntimeError as e:
+        if "already initialized" in str(e).lower():
+            return
+        raise

@@ -122,3 +122,45 @@ def test_qfa_class_golden_prediction():
     assert hmean.shape == (8, 1)
     np.testing.assert_allclose(np.asarray(hmean)[:, 0], spec["h"], atol=5e-5)
     np.testing.assert_allclose(np.asarray(cont), spec["our"], atol=5e-5)
+
+
+def test_optimizer_shim_scheduler_introspection(survey, tmp_path, capsys):
+    """QFA.train honors a reference-style optimizer's step scheduler, and
+    the non-quiet path prints the reference's terminal epoch line."""
+    from qfa_tpu.compat import Adam, step_scheduler
+
+    sched = step_scheduler(0.5, 2)
+    assert sched(3, 1.0) == pytest.approx(0.25)
+    opt = Adam(learning_rate=2e-2, weight_decay=0.0, scheduler=sched)
+    assert opt.scheduled_lr == pytest.approx(2e-2)  # i=0 -> (0+1)//2 = 0
+    opt.step()
+    assert opt.scheduled_lr == pytest.approx(1e-2)  # i=1 -> (1+1)//2 = 1
+    opt.i = 0
+    root, grid = survey
+    dl = Dataloader(make_cfg(root, ""))
+    model = QFA(dl.Nb, dl.Nr, 3)
+    model.train(optimizer=opt, dataloader=dl, n_epochs=1,
+                output_dir=str(tmp_path / "opt_train"), quiet=False)
+    out = capsys.readouterr().out
+    assert "epoch: 000/001" in out and "loss:" in out
+
+
+def test_set_tau_and_set_device(survey):
+    """Dataloader.set_tau/set_device parity
+    (/root/reference/QFA/dataloader.py:169-179)."""
+    from functools import partial
+
+    from qfa_tpu.physics.tau import tau_total
+
+    root, grid = survey
+    dl = Dataloader(make_cfg(root, ""))
+    d_becker = np.asarray(dl.residuals().delta)
+    dl.set_tau("mock")
+    d_mock = np.asarray(dl.residuals().delta)
+    assert not np.allclose(d_becker, d_mock)
+    # a reference-style callable tau(wav_grid, zqso) behaves identically
+    dl.set_tau(partial(tau_total, which="mock"))
+    np.testing.assert_allclose(
+        np.asarray(dl.residuals().delta), d_mock, atol=1e-5
+    )
+    dl.set_device(None)  # API parity no-op

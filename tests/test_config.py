@@ -62,3 +62,20 @@ def test_dump_roundtrip(tmp_path):
 def test_bad_opts_rejected():
     with pytest.raises(ValueError):
         load_config(opts=["MODEL.NH"])  # dangling key
+
+
+def test_cli_flags_explicit_falsy_values():
+    """Explicit falsy flags (--snr_min 0, --validation False) must override
+    the defaults (regression: `if value:` dropped them silently)."""
+    from qfa_tpu.cli import build_parser
+    from qfa_tpu.config import get_config
+
+    args = build_parser().parse_args(
+        ["--snr_min", "0", "--z_min", "0", "--validation", "False",
+         "--num_mask", "0"]
+    )
+    cfg = get_config(args)
+    assert cfg.DATA.SNR_MIN == 0.0
+    assert cfg.DATA.Z_MIN == 0.0
+    assert cfg.DATA.VALIDATION is False
+    assert cfg.DATA.NUM_MASK == 0
