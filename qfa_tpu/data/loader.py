@@ -52,29 +52,39 @@ __all__ = [
 ]
 
 
-def read_spectrum(path: str) -> tuple[np.ndarray, np.ndarray, np.ndarray, float]:
+def read_spectrum(
+    path: str,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, float, np.ndarray]:
     """Load one spectrum npz (keys ``flux, error, z``) and derive its mask.
 
     Missing pixels are flagged with the ``-999.`` sentinel in either flux or
     error (``/root/reference/QFA/dataloader.py:24-28``); they are masked and
     sanitized to 0 so no sentinel value can leak into device arithmetic.
+
+    The raw ``flux != -999`` indicator (``flux_ok``) is kept separately
+    because the reference's mu-estimate denominator counts exactly that —
+    including pixels masked only through ``error``
+    (``/root/reference/QFA/dataloader.py:111``).
     """
     with np.load(path) as f:
         flux = np.asarray(f["flux"], np.float32)
         error = np.asarray(f["error"], np.float32)
         z = float(f["z"])
-    mask = (flux != MISSING) & (error != MISSING)
+    flux_ok = flux != MISSING
+    mask = flux_ok & (error != MISSING)
     flux = np.where(mask, flux, 0.0).astype(np.float32)
     error = np.where(mask, error, 0.0).astype(np.float32)
-    return flux, error, mask, z
+    return flux, error, mask, z, flux_ok
 
 
 def read_spectra(
     paths: Sequence[str], max_workers: int = 16, engine: str = "auto"
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Read many spectra concurrently into stacked arrays.
 
-    Returns (flux, error, mask, zqso) with shapes (N, Npix) x3 and (N,).
+    Returns (flux, error, mask, zqso, flux_ok) with shapes (N, Npix) x3,
+    (N,), (N, Npix); ``flux_ok`` is the raw flux-non-sentinel indicator
+    needed for exact reference mu semantics (see :func:`read_spectrum`).
 
     ``engine``: ``"native"`` uses the C++ thread-pool reader
     (``qfa_tpu.native``, ~6x faster, parses the zip containers directly into
@@ -98,7 +108,8 @@ def read_spectra(
     error = np.stack([r[1] for r in rows])
     mask = np.stack([r[2] for r in rows])
     z = np.array([r[3] for r in rows], np.float32)
-    return flux, error, mask, z
+    flux_ok = np.stack([r[4] for r in rows])
+    return flux, error, mask, z, flux_ok
 
 
 def select_from_catalog(
@@ -155,6 +166,7 @@ class SpectraDataset(NamedTuple):
     mask: np.ndarray  #: (N, Npix) bool.
     zqso: np.ndarray  #: (N,) float32.
     paths: tuple  #: file names (may be empty for synthetic data).
+    flux_ok: np.ndarray | None = None  #: (N, Npix) bool, raw flux != -999.
 
     @property
     def size(self) -> int:
@@ -167,8 +179,9 @@ class SpectraDataset(NamedTuple):
     @classmethod
     def from_paths(cls, paths: Sequence[str], max_workers: int = 16
                    ) -> "SpectraDataset":
-        flux, error, mask, z = read_spectra(paths, max_workers)
-        return cls(flux=flux, error=error, mask=mask, zqso=z, paths=tuple(paths))
+        flux, error, mask, z, flux_ok = read_spectra(paths, max_workers)
+        return cls(flux=flux, error=error, mask=mask, zqso=z,
+                   paths=tuple(paths), flux_ok=flux_ok)
 
 
 def estimate_mu(
@@ -185,10 +198,13 @@ def estimate_mu(
     and the per-pixel masked average is smoothed
     (``/root/reference/QFA/dataloader.py:110-112``).
 
-    ``compat_denominator=True`` reproduces the reference's denominator — the
-    count of pixels with non-sentinel *flux* only — which can differ from the
-    numerator's full mask (SURVEY.md section 3 quirk 7). ``False`` uses the
-    actual mask count. Pixels observed nowhere yield 0 instead of NaN.
+    ``compat_denominator=True`` reproduces the reference's denominator
+    exactly — the per-pixel count of raw non-sentinel *flux* values
+    (``np.sum(flux != -999.)``, ``/root/reference/QFA/dataloader.py:111``),
+    which includes pixels masked only through ``error`` and can therefore
+    differ from the numerator's full mask (SURVEY.md section 3 quirk 7).
+    ``False`` uses the actual mask count. Pixels observed nowhere yield 0
+    instead of the reference's NaN.
     """
     taus = np.asarray(tau_total(jnp.asarray(grid.wav), jnp.asarray(dataset.zqso),
                                 which=tau_which))
@@ -197,9 +213,13 @@ def estimate_mu(
     )
     num = np.sum(dataset.flux * deabsorb * dataset.mask, axis=0)
     if compat_denominator:
-        # matches the reference; with sanitized buffers flux==0 means masked,
-        # so the count differs only for genuinely zero observed flux.
-        den = np.sum(dataset.flux != 0.0, axis=0).astype(np.float64)
+        if dataset.flux_ok is not None:
+            den = np.sum(dataset.flux_ok, axis=0).astype(np.float64)
+        else:
+            # datasets built without the raw indicator (e.g. synthetic):
+            # with sanitized buffers flux==0 means masked, so this count
+            # differs only for genuinely zero observed flux.
+            den = np.sum(dataset.flux != 0.0, axis=0).astype(np.float64)
     else:
         den = np.sum(dataset.mask, axis=0).astype(np.float64)
     mu = np.where(den > 0, num / np.maximum(den, 1.0), 0.0)

@@ -49,6 +49,7 @@ class SyntheticSpectra(NamedTuple):
             mask=m,
             zqso=np.asarray(self.zqso, np.float32),
             paths=(),
+            flux_ok=m,  # synthetic masking hits flux and error together
         )
 
     def to_batch(self, mu: Array, tau_which: str = "becker") -> SpectraBatch:

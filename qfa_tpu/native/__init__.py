@@ -57,6 +57,7 @@ def _load() -> ctypes.CDLL | None:
             ctypes.POINTER(ctypes.c_float),  # flux
             ctypes.POINTER(ctypes.c_float),  # error
             ctypes.POINTER(ctypes.c_uint8),  # mask
+            ctypes.POINTER(ctypes.c_uint8),  # flux_ok
             ctypes.POINTER(ctypes.c_float),  # z
             ctypes.c_int,  # n_threads
             ctypes.c_char_p,  # errbuf
@@ -76,12 +77,12 @@ def native_available() -> bool:
 
 def read_spectra_native(
     paths, npix: int, n_threads: int = 16
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Read many spectra npz files via the C++ thread pool.
 
-    Returns (flux, error, mask, z) with flux/error float32 (N, npix),
-    mask bool (N, npix), z float32 (N,) — identical contract to the Python
-    reader (``qfa_tpu.data.loader.read_spectra``).
+    Returns (flux, error, mask, z, flux_ok) with flux/error float32
+    (N, npix), mask/flux_ok bool (N, npix), z float32 (N,) — identical
+    contract to the Python reader (``qfa_tpu.data.loader.read_spectra``).
     """
     lib = _load()
     if lib is None:
@@ -90,6 +91,7 @@ def read_spectra_native(
     flux = np.empty((n, npix), np.float32)
     error = np.empty((n, npix), np.float32)
     mask = np.empty((n, npix), np.uint8)
+    flux_ok = np.empty((n, npix), np.uint8)
     z = np.empty((n,), np.float32)
     encoded = [os.fsencode(p) for p in paths]
     c_paths = (ctypes.c_char_p * n)(*encoded)
@@ -101,6 +103,7 @@ def read_spectra_native(
         flux.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         error.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         mask.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        flux_ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         z.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
         n_threads,
         errbuf,
@@ -111,4 +114,4 @@ def read_spectra_native(
             f"native reader: {rc}/{n} files failed "
             f"({errbuf.value.decode(errors='replace')})"
         )
-    return flux, error, mask.astype(bool), z
+    return flux, error, mask.astype(bool), z, flux_ok.astype(bool)

@@ -14,8 +14,12 @@
 // Exposed C ABI (see qfa_tpu/native/__init__.py for the ctypes binding):
 //   int qfa_read_spectra(const char** paths, int n_files, int npix,
 //                        float* flux, float* error, unsigned char* mask,
-//                        float* z, int n_threads,
+//                        unsigned char* flux_ok, float* z, int n_threads,
 //                        char* errbuf, int errbuf_len);
+//
+// flux_ok is the raw `flux != -999` indicator (before the combined
+// flux/error mask), needed for exact reference mu-denominator semantics
+// (/root/reference/QFA/dataloader.py:111).
 // Returns 0 on success; nonzero = number of failed files (first error
 // message in errbuf).
 
@@ -235,6 +239,7 @@ struct Shared {
   float* flux;
   float* error;
   uint8_t* mask;
+  uint8_t* flux_ok;
   float* z;
   std::atomic<int> next{0};
   std::atomic<int> failures{0};
@@ -272,10 +277,12 @@ void worker(Shared& sh) {
     float* flux_row = sh.flux + static_cast<size_t>(i) * sh.npix;
     float* err_row = sh.error + static_cast<size_t>(i) * sh.npix;
     uint8_t* mask_row = sh.mask + static_cast<size_t>(i) * sh.npix;
+    uint8_t* fok_row = sh.flux_ok + static_cast<size_t>(i) * sh.npix;
     // default: fully masked row on failure
     std::memset(flux_row, 0, sizeof(float) * sh.npix);
     std::memset(err_row, 0, sizeof(float) * sh.npix);
     std::memset(mask_row, 0, sh.npix);
+    std::memset(fok_row, 0, sh.npix);
     sh.z[i] = 0.0f;
 
     if (!read_file(path, file, err)) {
@@ -306,6 +313,7 @@ void worker(Shared& sh) {
       float ev = static_cast<float>(npy_get(de, ise, p));
       bool ok = fv != kMissing && ev != kMissing;
       mask_row[p] = ok ? 1 : 0;
+      fok_row[p] = fv != kMissing ? 1 : 0;
       flux_row[p] = ok ? fv : 0.0f;
       err_row[p] = ok ? ev : 0.0f;
     }
@@ -317,8 +325,8 @@ void worker(Shared& sh) {
 
 extern "C" int qfa_read_spectra(const char** paths, int n_files, int npix,
                                 float* flux, float* error, uint8_t* mask,
-                                float* z, int n_threads, char* errbuf,
-                                int errbuf_len) {
+                                uint8_t* flux_ok, float* z, int n_threads,
+                                char* errbuf, int errbuf_len) {
   Shared sh;
   sh.paths = paths;
   sh.n_files = n_files;
@@ -326,6 +334,7 @@ extern "C" int qfa_read_spectra(const char** paths, int n_files, int npix,
   sh.flux = flux;
   sh.error = error;
   sh.mask = mask;
+  sh.flux_ok = flux_ok;
   sh.z = z;
   int nt = n_threads > 0 ? n_threads : 1;
   if (nt > n_files) nt = n_files > 0 ? n_files : 1;

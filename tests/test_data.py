@@ -40,12 +40,13 @@ def test_read_spectrum_sanitizes_sentinels(tmp_path, grid):
     rng = np.random.default_rng(0)
     p = tmp_path / "s.npz"
     write_spec(p, grid.npix, 2.5, rng, n_missing=7)
-    flux, error, mask, z = read_spectrum(str(p))
+    flux, error, mask, z, flux_ok = read_spectrum(str(p))
     assert mask.sum() == grid.npix - 7
     assert z == 2.5
     # no sentinel leaks into the arrays
     assert (flux != MISSING).all() and (error != MISSING).all()
     assert (flux[~mask] == 0).all() and (error[~mask] == 0).all()
+    np.testing.assert_array_equal(flux_ok, mask)  # both masked together here
 
 
 def test_dataset_from_paths_parallel_read(tmp_path, grid):

@@ -191,3 +191,99 @@ def test_omega_func_matches_reference(ref_modules):
         torch.tensor(0.24),
     ).numpy()
     np.testing.assert_allclose(ours, theirs, rtol=1e-6)
+
+
+@pytest.fixture(scope="module")
+def ref_dataloader_cls(ref_modules):
+    """The reference Dataloader class (imported after the yacs stub)."""
+    from QFA.dataloader import Dataloader as RefDataloader
+
+    return RefDataloader
+
+
+@requires_reference
+def test_data_layer_matches_reference_exactly(ref_dataloader_cls, tmp_path):
+    """mu estimate and first-batch residuals vs the executed reference
+    Dataloader on shared tiny npz fixtures (/root/reference/QFA/dataloader.py
+    :60-138), including pixels masked only through error (the denominator
+    quirk, SURVEY.md section 3 quirk 7)."""
+    import jax.numpy as jnp
+
+    import qfa_tpu
+    from qfa_tpu.config import load_config
+    from qfa_tpu.data.loader import (
+        SpectraDataset,
+        estimate_mu,
+        make_residuals,
+    )
+
+    rng = np.random.default_rng(7)
+    lam_min, lam_max, dlog = 1045.0, 1350.0, 1e-3
+    grid = qfa_tpu.make_grid(lam_min, lam_max, dlog)
+    n = 12
+    ddir = tmp_path / "spectra"
+    ddir.mkdir()
+    rows = []
+    for i in range(n):
+        flux = rng.uniform(0.5, 2.0, grid.npix)
+        error = rng.uniform(0.05, 0.2, grid.npix)
+        sel = rng.choice(grid.npix, 12, replace=False)
+        flux[sel[:4]] = -999.0
+        error[sel[:4]] = -999.0
+        error[sel[4:8]] = -999.0  # error-only masked: the denominator quirk
+        flux[sel[8:]] = -999.0    # flux-only masked
+        flux[sel[11]] = 0.0       # genuinely zero observed flux
+        np.savez(ddir / f"s{i:02d}.npz", flux=flux, error=error,
+                 z=2.2 + 0.09 * i)
+        rows.append(dict(file=f"s{i:02d}.npz", snr=10.0, z=2.2 + 0.09 * i,
+                         num_mask=0))
+    import pandas as pd
+
+    pd.DataFrame(rows).to_csv(tmp_path / "catalog.csv", index=False)
+
+    cfg = load_config(opts=[
+        "TYPE", "train",
+        "DATA.CATALOG", str(tmp_path / "catalog.csv"),
+        "DATA.DATA_DIR", str(ddir),
+        "DATA.OUTPUT_DIR", str(tmp_path / "ref_out"),
+        "DATA.DATA_NUM", str(n),
+        "DATA.BATCH_SIZE", "5",
+        "DATA.NUM_MASK", "4",
+        "DATA.SNR_MIN", "2.0",
+        "DATA.LAMMIN", str(lam_min),
+        "DATA.LAMMAX", str(lam_max),
+        "DATA.LOGLAM_DELTA", str(dlog),
+        "DATA.NPROCS", "2",
+    ])
+    np.random.seed(0)  # the reference samples the catalog via the global rng
+    ref_dl = ref_dataloader_cls(cfg)
+    assert ref_dl.data_size == n
+
+    # ours, on the same files IN THE REFERENCE'S SELECTION ORDER so batches
+    # line up row for row
+    paths = [str(p) for p in ref_dl.pathlist]
+    ds = SpectraDataset.from_paths(paths)
+    mu_ours = estimate_mu(ds, grid, tau_which="becker", window=16,
+                          compat_denominator=True)
+    np.testing.assert_allclose(
+        mu_ours, np.asarray(ref_dl.mu, np.float32), rtol=1e-5, atol=1e-6
+    )
+
+    # first-batch residuals: the reference's delta carries sentinel garbage
+    # at masked pixels (masked later by row deletion); compare masked values
+    ref_dl.cur = 0  # no rewind: keep selection order
+    d_ref, e_ref, z_ref, m_ref = ref_dl.next_batch()
+    m_np = m_ref.numpy()
+    res = make_residuals(ds, grid, mu_ours, tau_which="becker")
+    np.testing.assert_allclose(
+        np.asarray(res.delta[:5]), d_ref.numpy() * m_np, rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.error[:5]) , e_ref.numpy() * m_np, rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(res.zabs[:5]), z_ref.numpy(), rtol=1e-5, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res.mask[:5]) > 0, m_np
+    )
