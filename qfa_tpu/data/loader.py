@@ -49,6 +49,8 @@ __all__ = [
     "make_residuals",
     "ResidualDataset",
     "batch_indices",
+    "EpochIndices",
+    "epoch_indices",
 ]
 
 
@@ -238,14 +240,21 @@ class ResidualDataset(NamedTuple):
     def size(self) -> int:
         return self.delta.shape[0]
 
-    def gather(self, idx: Array) -> SpectraBatch:
-        """Assemble a batch by index gather (device-side, jit-safe)."""
+    def gather(self, idx: Array, weight: Array | None = None) -> SpectraBatch:
+        """Assemble a batch by index gather (device-side, jit-safe).
+
+        ``weight`` (optional, (B,)) marks padding rows with 0 — used by the
+        tail batch of an epoch, whose pad entries duplicate row 0 but must
+        contribute nothing.
+        """
         return SpectraBatch(
             delta=self.delta[idx],
             error=self.error[idx],
             zabs=self.zabs[idx],
             mask=self.mask[idx],
-            weight=jnp.ones(idx.shape, self.delta.dtype),
+            weight=jnp.ones(idx.shape, self.delta.dtype)
+            if weight is None
+            else weight.astype(self.delta.dtype),
         )
 
 
@@ -288,11 +297,41 @@ def batch_indices(
     """Shuffled epoch index matrix of shape (n_batches, batch_size).
 
     The tail that doesn't fill a batch is dropped when ``drop_remainder``
-    (keeps every step the same compiled shape); with a dataset padded to a
-    multiple of the batch size nothing is lost.
+    (keeps every step the same compiled shape); use :func:`epoch_indices`
+    to train the tail batch too (the reference does,
+    ``/root/reference/QFA/dataloader.py:132-138``).
     """
     perm = jax.random.permutation(key, n)
     n_batches = n // batch_size
     if not drop_remainder and n % batch_size:
-        raise NotImplementedError("pad the dataset to a batch multiple instead")
+        raise NotImplementedError("use epoch_indices for tail-batch epochs")
     return perm[: n_batches * batch_size].reshape(n_batches, batch_size)
+
+
+class EpochIndices(NamedTuple):
+    """Shuffled epoch indices covering EVERY spectrum.
+
+    The tail batch is padded up to the fixed batch size with weight-0
+    duplicate entries, so each compiled step keeps a static shape while the
+    partial final batch still trains (reference behavior,
+    ``/root/reference/QFA/dataloader.py:132-138``; the round-1 trainer
+    silently dropped the remainder).
+    """
+
+    idx: Array  #: (n_batches, batch_size) int32 row indices.
+    weight: Array  #: (n_batches, batch_size) float32, 0 on pad entries.
+
+
+def epoch_indices(key: jax.Array, n: int, batch_size: int) -> EpochIndices:
+    """Shuffled full-coverage epoch indices (see :class:`EpochIndices`)."""
+    perm = jax.random.permutation(key, n)
+    n_batches = -(-n // batch_size)
+    pad = n_batches * batch_size - n
+    idx = jnp.concatenate([perm, jnp.zeros((pad,), perm.dtype)])
+    wt = jnp.concatenate(
+        [jnp.ones((n,), jnp.float32), jnp.zeros((pad,), jnp.float32)]
+    )
+    return EpochIndices(
+        idx=idx.reshape(n_batches, batch_size),
+        weight=wt.reshape(n_batches, batch_size),
+    )

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..data.batch import SpectraBatch
-from ..data.loader import ResidualDataset
+from ..data.loader import EpochIndices, ResidualDataset
 from ..models.params import clip_params
 from ..models.qfa import normalize_with_counts, summed_stats
 from ..train import adam
@@ -54,25 +54,55 @@ def shard_dataset(data: ResidualDataset, mesh: Mesh) -> ResidualDataset:
 
 
 def shard_epoch_indices(
-    key: jax.Array, n: int, batch_size: int, mesh: Mesh
-) -> Array:
-    """Per-shard shuffled index tensor, shape (ndev, n_batches, local_bs).
+    key: jax.Array,
+    n: int,
+    batch_size: int,
+    mesh: Mesh,
+    *,
+    n_real: int | None = None,
+) -> EpochIndices:
+    """Per-shard shuffled epoch indices + weights, shapes
+    (ndev, n_batches, local_bs) each, sharded over axis 0.
 
-    Values are LOCAL indices into each device's shard. Sharded over axis 0.
+    Index values are LOCAL rows into each device's shard. Weights are 0 on
+    tail-batch pad entries and on dataset padding rows: when ``n_real < n``
+    (the resident dataset was padded up to a device multiple), global rows
+    ``>= n_real`` never contribute. Every real spectrum appears exactly once
+    per epoch (the reference trains the tail batch too,
+    ``/root/reference/QFA/dataloader.py:132-138``).
     """
     ndev = mesh.devices.size
     if n % ndev:
         raise ValueError(f"dataset size {n} not divisible by {ndev} devices")
     if batch_size % ndev:
         raise ValueError(f"batch size {batch_size} not divisible by {ndev}")
+    if n_real is None:
+        n_real = n
     shard_n = n // ndev
     local_bs = batch_size // ndev
-    n_batches = shard_n // local_bs
+    n_batches = -(-shard_n // local_bs)
+    pad = n_batches * local_bs - shard_n
     keys = jax.random.split(key, ndev)
     perms = jnp.stack([jax.random.permutation(k, shard_n) for k in keys])
-    idx = perms[:, : n_batches * local_bs].reshape(ndev, n_batches, local_bs)
+    perms = jnp.concatenate(
+        [perms, jnp.zeros((ndev, pad), perms.dtype)], axis=1
+    )
+    # weight 0 for pad entries and for dataset padding rows (global >= n_real)
+    shard_starts = (jnp.arange(ndev) * shard_n)[:, None]
+    wt = jnp.concatenate(
+        [
+            (perms[:, :shard_n] + shard_starts < n_real).astype(jnp.float32),
+            jnp.zeros((ndev, pad), jnp.float32),
+        ],
+        axis=1,
+    )
+    idx = perms.reshape(ndev, n_batches, local_bs)
+    wt = wt.reshape(ndev, n_batches, local_bs)
     axis = mesh.axis_names[0]
-    return jax.device_put(idx, NamedSharding(mesh, P(axis, None, None)))
+    spec = NamedSharding(mesh, P(axis, None, None))
+    return EpochIndices(
+        idx=jax.device_put(idx, spec), weight=jax.device_put(wt, spec)
+    )
 
 
 def make_dp_epoch_fn(config: TrainConfig, mesh: Mesh) -> Callable:
@@ -85,19 +115,24 @@ def make_dp_epoch_fn(config: TrainConfig, mesh: Mesh) -> Callable:
     """
     adam_cfg = config.adam_config()
     axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
 
-    def local_epoch(state: TrainState, data: ResidualDataset, idx: Array):
-        # Inside shard_map: data leaves are the local shard, idx is
+    def local_epoch(
+        state: TrainState, data: ResidualDataset, ei: EpochIndices
+    ):
+        # Inside shard_map: data leaves are the local shard, ei leaves are
         # (1, n_batches, local_bs) — drop the unit mesh dim.
-        idx = idx[0]
+        idx = ei.idx[0]
+        wts = ei.weight[0]
 
-        def batch_step(carry: TrainState, b_idx):
+        def batch_step(carry: TrainState, xs):
+            b_idx, b_wt = xs
             batch = SpectraBatch(
                 delta=data.delta[b_idx],
                 error=data.error[b_idx],
                 zabs=data.zabs[b_idx],
-                mask=data.mask[b_idx],
-                weight=jnp.ones(b_idx.shape, data.delta.dtype),
+                mask=data.mask[b_idx] * b_wt[:, None],
+                weight=b_wt.astype(data.delta.dtype),
             )
             total, n_real, grads, counts = summed_stats(
                 carry.params, batch, config.options
@@ -124,10 +159,13 @@ def make_dp_epoch_fn(config: TrainConfig, mesh: Mesh) -> Callable:
                 new_state, _ok = guard_nonfinite(new_state, carry, loss)
             return new_state, loss
 
-        state, losses = jax.lax.scan(batch_step, state, idx)
+        state, losses = jax.lax.scan(batch_step, state, (idx, wts))
+        # reference epoch-loss bookkeeping: sum of batch means over
+        # floor(N_global / batch_size) (/root/reference/QFA/model.py:206-213)
+        niter = max(data.delta.shape[0] * ndev // config.batch_size, 1)
         return (
             TrainState(state.params, adam.next_epoch(state.opt_state)),
-            jnp.mean(losses),
+            jnp.sum(losses) / niter,
         )
 
     rep = P()
@@ -135,7 +173,7 @@ def make_dp_epoch_fn(config: TrainConfig, mesh: Mesh) -> Callable:
         local_epoch,
         mesh=mesh,
         # prefix specs: replicated state, spectrum-axis-sharded data leaves,
-        # device-major epoch indices.
+        # device-major epoch indices/weights.
         in_specs=(rep, P(axis, None), P(axis, None, None)),
         out_specs=(rep, rep),
         check_vma=False,

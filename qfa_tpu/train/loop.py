@@ -240,25 +240,40 @@ def fit_streaming(
 
 def make_epoch_fn(
     config: TrainConfig,
-) -> Callable[[TrainState, ResidualDataset, Array], tuple[TrainState, Array]]:
+) -> Callable[..., tuple[TrainState, Array]]:
     """Build the jitted one-epoch function: scan of batch updates.
 
-    The returned function has signature ``(state, data, idx) -> (state,
-    mean_epoch_loss)`` where ``idx`` is the (n_batches, batch_size) shuffled
-    index matrix for this epoch.
+    The returned function has signature ``(state, data, idx, wt=None) ->
+    (state, epoch_loss)`` where ``idx`` is the (n_batches, batch_size)
+    shuffled index matrix for this epoch and ``wt`` the optional matching
+    weight matrix (0 on tail-batch pad entries, see
+    ``data.loader.epoch_indices``).
+
+    ``epoch_loss`` follows the reference's bookkeeping: the sum of batch
+    mean-losses divided by ``data_size // batch_size``
+    (``/root/reference/QFA/model.py:206-213`` — the tail batch adds its
+    mean on top, so with a tail the "mean" can exceed a true average).
     """
     adam_cfg = config.adam_config()
     step = _make_batch_step(config, adam_cfg)
 
     @partial(jax.jit, donate_argnums=(0,))
-    def epoch_fn(state: TrainState, data: ResidualDataset, idx: Array):
-        def batch_step(carry: TrainState, batch_idx):
-            return step(carry, data.gather(batch_idx))
+    def epoch_fn(
+        state: TrainState, data: ResidualDataset, idx: Array, wt=None
+    ):
+        def batch_step(carry: TrainState, xs):
+            if wt is None:
+                batch = data.gather(xs)
+            else:
+                batch = data.gather(xs[0], xs[1])
+            return step(carry, batch)
 
-        state, losses = jax.lax.scan(batch_step, state, idx)
+        xs = idx if wt is None else (idx, wt)
+        state, losses = jax.lax.scan(batch_step, state, xs)
+        niter = max(data.delta.shape[0] // config.batch_size, 1)
         return (
             TrainState(state.params, adam.next_epoch(state.opt_state)),
-            jnp.mean(losses),
+            jnp.sum(losses) / niter,
         )
 
     return epoch_fn
@@ -351,11 +366,17 @@ def train_epoch(
     config: TrainConfig,
     epoch_fn=None,
 ) -> tuple[TrainState, float]:
-    """Run one shuffled epoch; returns (state, mean loss)."""
+    """Run one shuffled epoch (tail batch included); returns (state, loss)."""
+    from ..data.loader import epoch_indices
+
     if epoch_fn is None:
         epoch_fn = make_epoch_fn(config)
-    idx = batch_indices(key, data.size, config.batch_size)
-    state, loss = epoch_fn(state, data, idx)
+    if data.size % config.batch_size:
+        ei = epoch_indices(key, data.size, config.batch_size)
+        state, loss = epoch_fn(state, data, ei.idx, ei.weight)
+    else:
+        idx = batch_indices(key, data.size, config.batch_size)
+        state, loss = epoch_fn(state, data, idx)
     return state, float(loss)
 
 

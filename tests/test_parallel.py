@@ -76,7 +76,7 @@ def test_dp_epoch_matches_single_device_update(problem):
     # Single-device path with the SAME global batches: device d's local
     # indices map to global rows d*shard + i.
     shard = data.size // NDEV
-    idx_host = np.asarray(jax.device_get(idx))  # (ndev, n_batches, local)
+    idx_host = np.asarray(jax.device_get(idx.idx))  # (ndev, n_batches, local)
     n_batches = idx_host.shape[1]
     global_idx = np.concatenate(
         [idx_host[d] + d * shard for d in range(NDEV)], axis=1

@@ -240,3 +240,74 @@ def test_sliced_epoch_matches_gathered_epoch(problem):
         np.sort(np.asarray(data.delta).ravel()),
         atol=0,
     )
+
+
+def test_epoch_indices_cover_every_spectrum():
+    """Full-coverage epoch indices: every row exactly once, pads weight-0
+    (the reference trains the tail batch,
+    /root/reference/QFA/dataloader.py:132-138)."""
+    from qfa_tpu.data.loader import epoch_indices
+
+    ei = epoch_indices(jax.random.key(0), 37, 16)
+    assert ei.idx.shape == (3, 16) and ei.weight.shape == (3, 16)
+    real = np.asarray(ei.idx)[np.asarray(ei.weight) > 0]
+    assert sorted(real.tolist()) == list(range(37))
+    assert float(np.asarray(ei.weight).sum()) == 37.0
+
+
+def test_tail_batch_equals_padded_step(problem):
+    """A pure-tail epoch (n < batch_size) must produce exactly the update of
+    the explicitly padded single step — weight-0 pad rows contribute nothing."""
+    from qfa_tpu.data.batch import pad_batch
+    from qfa_tpu.data.loader import epoch_indices
+    from qfa_tpu.train import TrainState, adam
+    from qfa_tpu.train.loop import make_epoch_fn, make_step_fn
+
+    grid, true, mu, syn, data = problem
+    small = ResidualDataset(*(leaf[:8] for leaf in data))
+    cfg = TrainConfig(batch_size=16, learning_rate=1e-2, weight_decay=0.01)
+
+    p0 = random_init(jax.random.key(9), grid.npix, grid.nb, 3)
+    ei = epoch_indices(jax.random.key(10), 8, 16)
+    st_epoch, loss_epoch = make_epoch_fn(cfg)(
+        TrainState(p0, adam.init(p0)), small, ei.idx, ei.weight
+    )
+
+    p0b = random_init(jax.random.key(9), grid.npix, grid.nb, 3)
+    batch = small.gather(ei.idx[0, :8])
+    st_step, loss_step = make_step_fn(cfg)(
+        TrainState(p0b, adam.init(p0b)), pad_batch(batch, 16)
+    )
+
+    assert float(loss_epoch) == pytest.approx(float(loss_step), rel=1e-6)
+    for a, b in zip(jax.tree.leaves(st_epoch.params), jax.tree.leaves(st_step.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7)
+
+
+def test_fit_trains_tail_batch(problem):
+    """fit() on a non-multiple dataset must train (finite loss) and touch
+    every spectrum (the gradient of a pixel observed only in the tail rows
+    is nonzero)."""
+    grid, true, mu, syn, data = problem
+    small = ResidualDataset(*(leaf[:40] for leaf in data))
+    cfg = TrainConfig(n_epochs=2, batch_size=16, learning_rate=1e-2,
+                      weight_decay=0.0, smooth_interval=100)
+    p0 = random_init(jax.random.key(11), grid.npix, grid.nb, 3)
+    params, history = fit(p0, small, mu, cfg, key=jax.random.key(12))
+    assert np.isfinite(history).all()
+
+
+def test_dp_epoch_with_dataset_padding_rows():
+    """shard_epoch_indices(n_real=...) zero-weights dataset padding rows."""
+    from qfa_tpu.parallel import make_mesh, shard_epoch_indices
+
+    mesh = make_mesh(4)
+    ei = shard_epoch_indices(jax.random.key(0), 48, 16, mesh, n_real=41)
+    idx = np.asarray(jax.device_get(ei.idx))   # (4, nb, 4) local indices
+    wt = np.asarray(jax.device_get(ei.weight))
+    shard_n = 48 // 4
+    global_idx = idx + (np.arange(4) * shard_n)[:, None, None]
+    # every real row exactly once with weight 1; padding rows weight 0
+    real = np.sort(global_idx[wt > 0].ravel())
+    assert real.tolist() == list(range(41))
+    assert (wt[global_idx >= 41] == 0).all()
