@@ -124,11 +124,33 @@ def _load_training_data(cfg: ConfigNode, grid):
     return dataset, mu, residuals, val_residuals
 
 
+def _build_mesh(cfg: ConfigNode, batch_size: int, logger):
+    """Data-parallel mesh from MESH.DATA_AXIS (-1 = all local devices).
+
+    Returns None when a single device is selected or the batch size cannot
+    be split across the mesh (logged)."""
+    from .parallel import make_mesh
+
+    want = cfg.MESH.DATA_AXIS
+    ndev = jax.device_count() if want in (-1, 0) else min(want, jax.device_count())
+    if ndev <= 1:
+        return None
+    if batch_size % ndev:
+        logger.warning(
+            "batch size %d not divisible by %d devices; training single-device",
+            batch_size, ndev,
+        )
+        return None
+    logger.info("data-parallel mesh over %d devices", ndev)
+    return make_mesh(ndev)
+
+
 def run_train(cfg: ConfigNode) -> None:
     from .data.grid import make_grid
     from .models import load_npz, random_init, save_npz
     from .models.qfa import ModelOptions
     from .train import TrainConfig, fit
+    from .train.checkpoint import latest_checkpoint, load_state
     from .utils.logging import MetricsWriter, make_logger, setup_run_dir
 
     out = setup_run_dir(cfg.DATA.OUTPUT_DIR, cfg)
@@ -147,9 +169,22 @@ def run_train(cfg: ConfigNode) -> None:
         "loaded %d spectra (grid npix=%d nb=%d)", dataset.size, grid.npix, grid.nb
     )
 
-    if cfg.MODEL.RESUME and os.path.exists(cfg.MODEL.RESUME):
-        # NOTE: unlike the reference (which re-randomizes after loading,
-        # /root/reference/main.py:83), resume actually resumes here.
+    # Resume priority: (1) newest full-state checkpoint in the run dir
+    # (exact trajectory continuation: params + Adam moments + epoch; fixes
+    # reference bug 4, /root/reference/main.py:78-83), (2) explicit
+    # MODEL.RESUME npz (params only), (3) fresh random init.
+    params = None
+    initial_state = None
+    auto = latest_checkpoint(os.path.join(out, "checkpoints")) \
+        if cfg.TRAIN.AUTO_RESUME else None
+    if auto is not None:
+        initial_state, _mu_saved = load_state(auto)
+        params = initial_state.params
+        logger.info(
+            "auto-resumed full training state from %s (epoch %d)",
+            auto, int(initial_state.opt_state.epoch),
+        )
+    elif cfg.MODEL.RESUME and os.path.exists(cfg.MODEL.RESUME):
         params, _ = load_npz(cfg.MODEL.RESUME, compat_c0_bug=cfg.MODEL.COMPAT_C0_BUG)
         logger.info("resumed parameters from %s", cfg.MODEL.RESUME)
     else:
@@ -157,6 +192,7 @@ def run_train(cfg: ConfigNode) -> None:
             jax.random.key(cfg.SEED), grid.npix, grid.nb, cfg.MODEL.NH
         )
 
+    mesh = _build_mesh(cfg, cfg.DATA.BATCH_SIZE, logger)
     train_cfg = TrainConfig(
         n_epochs=cfg.TRAIN.NEPOCHS,
         batch_size=cfg.DATA.BATCH_SIZE,
@@ -183,6 +219,8 @@ def run_train(cfg: ConfigNode) -> None:
                 spectra_per_s=round(residuals.size / max(dt, 1e-9), 1),
             ),
             val_data=val_residuals,
+            mesh=mesh,
+            initial_state=initial_state,
         )
     save_npz(os.path.join(out, "model_parameters.npz"), params, mu)
     logger.info("training done: %d epochs, final loss %.3f", len(history),

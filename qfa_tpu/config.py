@@ -168,6 +168,9 @@ def default_config() -> ConfigNode:
                 "SMOOTH_INTERVAL": 5,
                 "SAVE_INTERVAL": 5,
                 "REFERENCE_NORM": True,
+                #: resume from the newest full-state checkpoint (params +
+                #: Adam moments + epoch) found in OUTPUT_DIR/checkpoints.
+                "AUTO_RESUME": True,
             },
             # TPU-native extensions
             "MESH": {

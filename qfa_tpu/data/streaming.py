@@ -64,24 +64,50 @@ def stream_batches(
     *,
     prefetch: int = 2,
     sharding=None,
+    drop_remainder: bool = False,
 ) -> Iterator[SpectraBatch]:
     """Shuffled epoch iterator with asynchronous device prefetch.
 
     Yields device-side :class:`SpectraBatch` objects; up to ``prefetch``
     batches are in flight ahead of the consumer. ``sharding`` optionally
     places each batch on a mesh (e.g. ``NamedSharding(mesh, P('data'))``).
+
+    The tail batch is padded with weight-0 duplicate rows so every spectrum
+    trains each epoch at a static compiled shape (reference behavior,
+    ``/root/reference/QFA/dataloader.py:132-138``); pass
+    ``drop_remainder=True`` for the old truncating behavior.
     """
     n = host.size
-    n_batches = n // batch_size
-    perm = rng.permutation(n)[: n_batches * batch_size].reshape(
-        n_batches, batch_size
-    )
-    weight = jnp.ones((batch_size,), jnp.float32)
+    if drop_remainder:
+        n_batches = n // batch_size
+        tail = 0
+    else:
+        n_batches = -(-n // batch_size)
+        tail = n_batches * batch_size - n
+    perm = rng.permutation(n)
+    if tail:
+        perm = np.concatenate([perm, np.zeros((tail,), perm.dtype)])
+    perm = perm[: n_batches * batch_size].reshape(n_batches, batch_size)
+    full_weight = jnp.ones((batch_size,), jnp.float32)
     if sharding is not None:
-        weight = jax.device_put(weight, sharding)
+        full_weight = jax.device_put(full_weight, sharding)
 
     def put(i: int) -> SpectraBatch:
-        idx = np.sort(perm[i])  # sorted gather is faster on the host
+        if tail and i == n_batches - 1:
+            # pad entries sit at the end of the last batch; keep them last
+            # through the sort so the weights line up
+            real = np.sort(perm[i][: batch_size - tail])
+            idx = np.concatenate([real, perm[i][batch_size - tail:]])
+            weight = np.ones((batch_size,), np.float32)
+            weight[batch_size - tail:] = 0.0
+            weight = (
+                jax.device_put(weight, sharding)
+                if sharding is not None
+                else jax.device_put(weight)
+            )
+        else:
+            idx = np.sort(perm[i])  # sorted gather is faster on the host
+            weight = full_weight
         args = (host.delta[idx], host.error[idx], host.zabs[idx], host.mask[idx])
         if sharding is not None:
             args = tuple(jax.device_put(a, sharding) for a in args)

@@ -196,22 +196,70 @@ def fit_streaming(
     prefetch: int = 2,
     sharding=None,
     step_fn=None,
+    output_dir: str | None = None,
+    val_data: ResidualDataset | None = None,
+    initial_state: TrainState | None = None,
+    metrics_cb: Callable[[int, float, float], None] | None = None,
+    save_full_state: bool = True,
 ) -> tuple[QFAParams, list]:
     """Training from host RAM with asynchronous batch prefetch.
 
-    Same epoch-boundary semantics as :func:`fit`; use when the residual
-    dataset does not fit in HBM (``host_data`` is a
-    ``qfa_tpu.data.streaming.HostResiduals``). ``step_fn`` may override the
-    update engine (e.g. :func:`make_pallas_step_fn`).
+    First-class peer of :func:`fit` — same epoch-boundary semantics
+    (smoothing, early stop), same checkpointing (reference npz + full-state
+    snapshots every ``save_interval``), held-out validation and full-state
+    resume via ``initial_state`` — for residual datasets larger than HBM
+    (``host_data`` is a ``qfa_tpu.data.streaming.HostResiduals``). The tail
+    batch trains with weight-0 padding. Per-epoch shuffles are seeded by
+    ``seed + epoch``, so a resumed run continues the exact uninterrupted
+    trajectory. ``step_fn`` may override the update engine (e.g.
+    :func:`make_pallas_step_fn`).
     """
     from ..data.streaming import stream_batches
 
-    state = TrainState(params, adam.init(params))
+    state = (
+        initial_state
+        if initial_state is not None
+        else TrainState(params, adam.init(params))
+    )
+    start_epoch = int(jax.device_get(state.opt_state.epoch))
     if step_fn is None:
         step_fn = make_step_fn(config)
-    rng = np.random.default_rng(seed)
     history: list = []
-    for epoch in range(config.n_epochs):
+    niter = max(host_data.size // config.batch_size, 1)
+
+    val_fn = None
+    if val_data is not None:
+        from ..data.batch import SpectraBatch
+        from ..models.qfa import mean_nll
+
+        @jax.jit
+        def val_fn(p):
+            batch = SpectraBatch(
+                delta=val_data.delta,
+                error=val_data.error,
+                zabs=val_data.zabs,
+                mask=val_data.mask,
+                weight=jnp.ones((val_data.size,), val_data.delta.dtype),
+            )
+            return mean_nll(p, batch, config.options)
+
+    def _save(state, ckpt):
+        save_npz(
+            f"{output_dir}/checkpoints/model_parameters_epoch_{ckpt:02d}.npz",
+            state.params,
+            mu,
+        )
+        if save_full_state:
+            from .checkpoint import save_state
+
+            save_state(
+                f"{output_dir}/checkpoints/state_epoch_{ckpt:02d}.npz",
+                state,
+                mu,
+            )
+
+    for epoch in range(start_epoch, config.n_epochs):
+        rng = np.random.default_rng(seed + epoch)
         t0 = time.perf_counter()
         losses = []
         for batch in stream_batches(
@@ -220,21 +268,34 @@ def fit_streaming(
         ):
             state, loss = step_fn(state, batch)
             losses.append(loss)
-        epoch_loss = float(jnp.mean(jnp.stack(losses)))
+        # reference epoch-loss bookkeeping: sum of batch means / floor(N/B)
+        epoch_loss = float(jnp.sum(jnp.stack(losses))) / niter
         dt = time.perf_counter() - t0
         history.append(epoch_loss)
+        val_loss = None
+        if val_fn is not None:
+            val_loss = float(val_fn(jax.device_get(state.params)))
+        msg = (
+            f"epoch: {epoch:03d}/{config.n_epochs:03d}  ;  "
+            f"loss:  {epoch_loss:.2f}  ;  time:  {dt:.2f} s"
+        )
+        if val_loss is not None:
+            msg += f"  ;  val_loss:  {val_loss:.2f}"
         if logger is not None:
-            logger.info(
-                "epoch: %03d/%03d  ;  loss:  %.2f  ;  time:  %.2f s",
-                epoch, config.n_epochs, epoch_loss, dt,
-            )
+            logger.info(msg)
+        if metrics_cb is not None:
+            metrics_cb(epoch, epoch_loss, dt)
         state = TrainState(state.params, adam.next_epoch(state.opt_state))
         ckpt = epoch + 1
         if config.stop_on_negative_loss and epoch_loss < 0.0:
             state = TrainState(smooth_params(state.params), state.opt_state)
+            if output_dir:
+                _save(state, ckpt)
             break
         if ckpt % config.smooth_interval == 0:
             state = TrainState(smooth_params(state.params), state.opt_state)
+        if output_dir and ckpt % config.save_interval == 0:
+            _save(state, ckpt)
     return state.params, history
 
 
@@ -391,25 +452,85 @@ def fit(
     logger: logging.Logger | None = None,
     metrics_cb: Callable[[int, float, float], None] | None = None,
     val_data: ResidualDataset | None = None,
+    mesh=None,
+    initial_state: TrainState | None = None,
+    save_full_state: bool = True,
 ) -> tuple[QFAParams, list]:
     """Full training run with reference epoch-boundary semantics.
 
     Smoothing every ``smooth_interval`` epochs, checkpoints every
-    ``save_interval`` epochs (npz schema), early stop when the epoch loss
-    goes negative (then smooth + save + break,
+    ``save_interval`` epochs (reference npz schema plus — when
+    ``save_full_state`` — a full-state snapshot with the Adam moments and
+    epoch counter, see ``train.checkpoint``), early stop when the epoch
+    loss goes negative (then smooth + save + break,
     ``/root/reference/QFA/model.py:222-231``).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the epoch runs data-parallel
+    (``parallel.dp``): the resident dataset is sharded over the spectrum
+    axis (padded with zero-weight rows up to a device multiple), parameters
+    stay replicated, one gradient/count psum per step.
+
+    ``initial_state``: resume from a full :class:`TrainState` (params +
+    Adam moments + epoch counter); training continues at the stored epoch
+    with the exact uninterrupted trajectory (per-epoch shuffle keys are
+    ``fold_in(key, epoch)``, so they do not depend on how many epochs this
+    process already ran).
 
     ``val_data``: optional held-out set evaluated (mean NLL) after every
     epoch. NOTE: the reference merely concatenates its "validation" spectra
     into the training arrays (``/root/reference/QFA/dataloader.py:81-85``);
     here validation is an actual held-out evaluation.
 
-    Returns (final params, per-epoch loss history).
+    Returns (final params, per-epoch loss history for epochs run here).
     """
     key = jax.random.key(0) if key is None else key
-    state = TrainState(params, adam.init(params))
-    epoch_fn = make_epoch_fn(config)
+    state = (
+        initial_state
+        if initial_state is not None
+        else TrainState(params, adam.init(params))
+    )
+    start_epoch = int(jax.device_get(state.opt_state.epoch))
     history: list = []
+
+    if mesh is not None:
+        from ..parallel.dp import (
+            make_dp_epoch_fn,
+            shard_dataset,
+            shard_epoch_indices,
+        )
+
+        ndev = mesh.devices.size
+        n_real = data.size
+        if config.batch_size % ndev:
+            raise ValueError(
+                f"batch size {config.batch_size} not divisible by the "
+                f"{ndev}-device mesh"
+            )
+        if n_real % ndev:
+            pad = ndev - n_real % ndev
+            data = ResidualDataset(
+                *(
+                    jnp.concatenate(
+                        [leaf, jnp.zeros((pad,) + leaf.shape[1:], leaf.dtype)]
+                    )
+                    for leaf in data
+                )
+            )
+        data = shard_dataset(data, mesh)
+        dp_epoch_fn = make_dp_epoch_fn(config, mesh)
+
+        def run_epoch(state, sub):
+            ei = shard_epoch_indices(
+                sub, data.size, config.batch_size, mesh, n_real=n_real
+            )
+            state, loss = dp_epoch_fn(state, data, ei)
+            return state, float(loss)
+
+    else:
+        epoch_fn = make_epoch_fn(config)
+
+        def run_epoch(state, sub):
+            return train_epoch(state, data, sub, config, epoch_fn)
 
     val_fn = None
     if val_data is not None:
@@ -427,13 +548,30 @@ def fit(
             )
             return mean_nll(p, batch, config.options)
 
-    for epoch in range(config.n_epochs):
-        key, sub = jax.random.split(key)
+    def _save(state, ckpt):
+        save_npz(
+            f"{output_dir}/checkpoints/model_parameters_epoch_{ckpt:02d}.npz",
+            state.params,
+            mu,
+        )
+        if save_full_state:
+            from .checkpoint import save_state
+
+            save_state(
+                f"{output_dir}/checkpoints/state_epoch_{ckpt:02d}.npz",
+                state,
+                mu,
+            )
+
+    for epoch in range(start_epoch, config.n_epochs):
+        sub = jax.random.fold_in(key, epoch)
         t0 = time.perf_counter()
-        state, loss = train_epoch(state, data, sub, config, epoch_fn)
+        state, loss = run_epoch(state, sub)
         dt = time.perf_counter() - t0
         history.append(loss)
-        val_loss = float(val_fn(state.params)) if val_fn is not None else None
+        val_loss = None
+        if val_fn is not None:
+            val_loss = float(val_fn(jax.device_get(state.params)))
         msg = (
             f"epoch: {epoch:03d}/{config.n_epochs:03d}  ;  "
             f"loss:  {loss:.2f}  ;  time:  {dt:.2f} s"
@@ -449,19 +587,11 @@ def fit(
         if config.stop_on_negative_loss and loss < 0.0:
             state.params = smooth_params(state.params)
             if output_dir:
-                save_npz(
-                    f"{output_dir}/checkpoints/model_parameters_epoch_{ckpt:02d}.npz",
-                    state.params,
-                    mu,
-                )
+                _save(state, ckpt)
             break
         if ckpt % config.smooth_interval == 0:
             state.params = smooth_params(state.params)
         if output_dir and ckpt % config.save_interval == 0:
-            save_npz(
-                f"{output_dir}/checkpoints/model_parameters_epoch_{ckpt:02d}.npz",
-                state.params,
-                mu,
-            )
+            _save(state, ckpt)
 
     return state.params, history

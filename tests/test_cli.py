@@ -184,3 +184,59 @@ def test_train_with_validation_holdout(survey):
     log = open(f"{out}/log.txt").read()
     assert "val_loss" in log
     assert os.path.exists(f"{out}/validation-catalog.csv")
+
+
+def test_train_cli_uses_data_parallel_mesh(survey):
+    """On this 8-virtual-device platform the CLI trains through the SPMD
+    data-parallel path (MESH.DATA_AXIS default -1 = all devices)."""
+    root, catalog, data_dir, grid = survey
+    out = str(root / "train_out")
+    log = open(f"{out}/log.txt").read()
+    assert "data-parallel mesh over 8 devices" in log
+
+
+def _resume_args(survey_paths, out, n_epochs):
+    root, catalog, data_dir, _ = survey_paths
+    return [
+        "--type", "train",
+        "--catalog", catalog,
+        "--data_dir", data_dir,
+        "--output_dir", out,
+        "--data_num", "32",
+        "--batch_size", "16",
+        "--n_epochs", str(n_epochs),
+        "--nh", "3",
+        "--learning_rate", "0.01",
+        "--num_mask", "40",
+        "--opts", "TRAIN.WEIGHT_DECAY", "0.0",
+        "TRAIN.SAVE_INTERVAL", "2",
+        "TRAIN.SMOOTH_INTERVAL", "2",
+        *_grid_opts(),
+    ]
+
+
+def test_cli_kill_and_resume_matches_uninterrupted(survey):
+    """Interrupted training auto-resumes from the full-state checkpoint and
+    reproduces the uninterrupted trajectory exactly (params + Adam moments +
+    epoch counter; the reference's resume is a no-op,
+    /root/reference/main.py:78-83)."""
+    root, catalog, data_dir, grid = survey
+
+    # uninterrupted: 4 epochs in one run
+    out_a = str(root / "resume_uninterrupted")
+    main(_resume_args(survey, out_a, 4))
+
+    # interrupted: 2 epochs ("killed"), then rerun asking for 4
+    out_b = str(root / "resume_interrupted")
+    main(_resume_args(survey, out_b, 2))
+    assert os.path.exists(f"{out_b}/checkpoints/state_epoch_02.npz")
+    main(_resume_args(survey, out_b, 4))
+    log = open(f"{out_b}/log.txt").read()
+    assert "auto-resumed full training state" in log
+
+    pa, mua = load_npz(f"{out_a}/model_parameters.npz")
+    pb, mub = load_npz(f"{out_b}/model_parameters.npz")
+    for a, b in zip(jax.tree.leaves(pa), jax.tree.leaves(pb)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(mua), np.asarray(mub), atol=1e-7)

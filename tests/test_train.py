@@ -95,7 +95,11 @@ def test_early_stop_on_negative_loss(problem, tmp_path):
     assert len(history) < 50, "must early-stop"
     assert history[-1] < 0
     ckpts = os.listdir(f"{out}/checkpoints")
-    assert len(ckpts) == 1  # the early-stop save
+    # the early-stop save: interop npz + full-state snapshot
+    assert sorted(ckpts) == [
+        f"model_parameters_epoch_{len(history):02d}.npz",
+        f"state_epoch_{len(history):02d}.npz",
+    ]
 
 
 def test_clip_active_during_training(problem):
@@ -311,3 +315,77 @@ def test_dp_epoch_with_dataset_padding_rows():
     real = np.sort(global_idx[wt > 0].ravel())
     assert real.tolist() == list(range(41))
     assert (wt[global_idx >= 41] == 0).all()
+
+
+def test_fit_streaming_first_class(problem, tmp_path):
+    """Streaming epochs: checkpoints + validation + tail batch + exact
+    kill-and-resume trajectory equality."""
+    from qfa_tpu.data.streaming import HostResiduals
+    from qfa_tpu.train import fit_streaming
+    from qfa_tpu.train.checkpoint import latest_checkpoint, load_state
+
+    grid, true, mu, syn, data = problem
+    host = HostResiduals(
+        delta=np.asarray(data.delta[:40]),
+        error=np.asarray(data.error[:40]),
+        zabs=np.asarray(data.zabs[:40]),
+        mask=np.asarray(data.mask[:40]),
+    )  # 40 spectra, batch 16 -> tail batch of 8
+    val = ResidualDataset(*(leaf[40:56] for leaf in data))
+    cfg = TrainConfig(n_epochs=4, batch_size=16, learning_rate=1e-2,
+                      weight_decay=0.0, smooth_interval=2, save_interval=2)
+    p0 = random_init(jax.random.key(21), grid.npix, grid.nb, 3)
+
+    out_a = str(tmp_path / "stream_a")
+    params_a, hist_a = fit_streaming(
+        p0, host, mu, cfg, seed=5, output_dir=out_a, val_data=val
+    )
+    assert len(hist_a) == 4 and np.isfinite(hist_a).all()
+    assert os.path.exists(f"{out_a}/checkpoints/model_parameters_epoch_02.npz")
+    assert os.path.exists(f"{out_a}/checkpoints/state_epoch_04.npz")
+
+    # kill after 2 epochs, resume to 4 -> identical trajectory
+    import dataclasses
+
+    out_b = str(tmp_path / "stream_b")
+    cfg2 = dataclasses.replace(cfg, n_epochs=2)
+    p0b = random_init(jax.random.key(21), grid.npix, grid.nb, 3)
+    fit_streaming(p0b, host, mu, cfg2, seed=5, output_dir=out_b)
+    ckpt = latest_checkpoint(f"{out_b}/checkpoints")
+    state, _ = load_state(ckpt)
+    assert int(state.opt_state.epoch) == 2
+    params_b, hist_b = fit_streaming(
+        None, host, mu, cfg, seed=5, output_dir=out_b, initial_state=state
+    )
+    assert len(hist_b) == 2
+    for a, b in zip(jax.tree.leaves(params_a), jax.tree.leaves(params_b)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_stream_batches_tail_coverage(problem):
+    """Every spectrum is served exactly once per epoch, pads weight-0."""
+    from qfa_tpu.data.streaming import HostResiduals, stream_batches
+
+    grid, true, mu, syn, data = problem
+    host = HostResiduals(
+        delta=np.asarray(data.delta[:37]),
+        error=np.asarray(data.error[:37]),
+        zabs=np.asarray(data.zabs[:37]),
+        mask=np.asarray(data.mask[:37]),
+    )
+    rng = np.random.default_rng(0)
+    served = []
+    total_w = 0.0
+    for batch in stream_batches(host, 16, rng):
+        w = np.asarray(batch.weight)
+        total_w += w.sum()
+        served.append(np.asarray(batch.delta)[w > 0])
+    assert total_w == 37.0
+    served = np.concatenate(served)
+    # every row appears exactly once (match rows by content)
+    src = np.asarray(host.delta)
+    matched = sorted(
+        int(np.argmin(np.abs(src - row).sum(axis=1))) for row in served
+    )
+    assert matched == list(range(37))
