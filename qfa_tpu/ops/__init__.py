@@ -1,5 +1,6 @@
-"""Custom TPU ops: fused Pallas training step."""
+"""Custom TPU ops: fused Pallas training step + whole-epoch trainer kernel."""
 
+from .epoch_kernel import EpochOutputs, fused_train_epoch
 from .fused_step import (
     TAU_LAW_ABC,
     FusedStepOutputs,
@@ -8,6 +9,8 @@ from .fused_step import (
 )
 
 __all__ = [
+    "EpochOutputs",
+    "fused_train_epoch",
     "TAU_LAW_ABC",
     "FusedStepOutputs",
     "finish_f_gradient",

@@ -2,6 +2,7 @@
 
 from . import adam
 from .checkpoint import latest_checkpoint, load_state, save_state
+from .pallas_engine import fit_pallas, pallas_train_epoch, pick_tile_batch
 from .loop import (
     TrainConfig,
     TrainState,
@@ -24,7 +25,10 @@ __all__ = [
     "TrainConfig",
     "TrainState",
     "fit",
+    "fit_pallas",
     "fit_streaming",
+    "pallas_train_epoch",
+    "pick_tile_batch",
     "guard_nonfinite",
     "make_epoch_fn",
     "make_pallas_step_fn",

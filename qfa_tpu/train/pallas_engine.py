@@ -1,0 +1,194 @@
+"""Production trainer backed by the whole-epoch Pallas kernel.
+
+``fit()`` (the XLA scan trainer) dispatches one fused program per epoch
+whose ~7-9 kernels per batch each pay the device's fixed launch cost —
+the measured throughput ceiling on the target v5e. This engine drives
+``ops.epoch_kernel.fused_train_epoch`` instead: ONE kernel per epoch,
+parameters and Adam moments resident in VMEM/SMEM for the whole launch,
+batch tiles streamed from HBM by the Pallas pipeline.
+
+Epoch-boundary semantics mirror :func:`qfa_tpu.train.loop.fit`
+(reference ``/root/reference/QFA/model.py:183-231``): per-epoch Adam
+counter, periodic smoothing + checkpointing, negative-loss early stop,
+full-state resume. Shuffling is tile-granular (the kernel regroups
+random ``tile_batch``-row tiles into batches every epoch); pass
+``reshuffle_interval`` to additionally re-permute the resident rows
+physically every K epochs for row-level mixing.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from ..data.loader import ResidualDataset
+from ..models.params import QFAParams, save_npz, smooth_params
+from ..ops.epoch_kernel import fused_train_epoch
+from . import adam
+from .loop import TrainConfig, TrainState, reshuffle_dataset
+
+__all__ = ["pallas_train_epoch", "fit_pallas", "pick_tile_batch"]
+
+
+def pick_tile_batch(batch_size: int, npix: int, limit: int = 256) -> int:
+    """Largest power-of-two tile that divides the batch and fits VMEM.
+
+    The kernel double-buffers 4 float32 ``(tile, P)`` windows; 256 rows at
+    SDSS Npix leaves headroom under the 128 MB VMEM budget, DESI-scale
+    grids (Npix ~ 9.3k) need 64-row tiles.
+    """
+    if npix > 4000:
+        limit = min(limit, 64)
+    tb = 1
+    while tb * 2 <= limit and batch_size % (tb * 2) == 0:
+        tb *= 2
+    return tb
+
+
+def pallas_train_epoch(
+    state: TrainState,
+    data: ResidualDataset,
+    key: jax.Array,
+    config: TrainConfig,
+    *,
+    tile_batch: int | None = None,
+    interpret: bool = False,
+) -> tuple[TrainState, float]:
+    """One full training epoch in a single kernel launch.
+
+    ``data.size`` must be a multiple of ``config.batch_size`` and the
+    batch size a multiple of the tile (pad the dataset with zero rows —
+    they are inert). Returns (new state, reference-bookkeeping epoch loss).
+    """
+    n = data.size
+    b = config.batch_size
+    if n % b:
+        raise ValueError(f"dataset size {n} not a multiple of batch {b}")
+    tb = tile_batch or pick_tile_batch(b, data.delta.shape[1])
+    if b % tb:
+        raise ValueError(f"batch {b} not a multiple of tile {tb}")
+    n_batches = n // b
+    perm = jax.random.permutation(key, n // tb)
+    out = fused_train_epoch(
+        state.params,
+        state.opt_state.m,
+        state.opt_state.v,
+        data.delta,
+        data.error,
+        data.zabs,
+        data.mask,
+        perm,
+        epoch=state.opt_state.epoch,
+        n_batches=n_batches,
+        tile_batch=tb,
+        learning_rate=config.learning_rate,
+        weight_decay=config.weight_decay,
+        decay_alpha=config.decay_alpha,
+        decay_step=config.decay_step,
+        bounds=config.bounds,
+        tau_which=config.options.tau_which,
+        reference_norm=config.reference_norm,
+        interpret=interpret,
+    )
+    new_state = TrainState(
+        out.params,
+        adam.AdamState(m=out.m, v=out.v, epoch=state.opt_state.epoch + 1),
+    )
+    # reference epoch-loss bookkeeping: sum of batch means / niter
+    batch_means = out.loss_sums / jnp.maximum(out.n_real, 1.0)
+    loss = float(jnp.sum(batch_means)) / max(n_batches, 1)
+    return new_state, loss
+
+
+def fit_pallas(
+    params: QFAParams,
+    data: ResidualDataset,
+    mu,
+    config: TrainConfig,
+    *,
+    key: jax.Array | None = None,
+    output_dir: str | None = None,
+    logger: logging.Logger | None = None,
+    metrics_cb: Callable[[int, float, float], None] | None = None,
+    initial_state: TrainState | None = None,
+    tile_batch: int | None = None,
+    reshuffle_interval: int = 0,
+    save_full_state: bool = True,
+    interpret: bool = False,
+) -> tuple[QFAParams, list]:
+    """Full training run on the single-launch epoch engine.
+
+    Same contract as :func:`qfa_tpu.train.loop.fit` (resume via
+    ``initial_state``, smoothing/saving/early-stop at epoch boundaries).
+    The dataset is padded with inert zero rows up to a batch multiple, so
+    the tail batch trains. ``reshuffle_interval > 0`` physically permutes
+    the resident rows every K epochs (tile composition otherwise fixed;
+    tile-to-batch assignment is random every epoch).
+    """
+    key = jax.random.key(0) if key is None else key
+    state = (
+        initial_state
+        if initial_state is not None
+        else TrainState(params, adam.init(params))
+    )
+    start_epoch = int(jax.device_get(state.opt_state.epoch))
+    if data.size % config.batch_size:
+        pad = config.batch_size - data.size % config.batch_size
+        data = ResidualDataset(
+            *(
+                jnp.concatenate(
+                    [leaf, jnp.zeros((pad,) + leaf.shape[1:], leaf.dtype)]
+                )
+                for leaf in data
+            )
+        )
+    history: list = []
+
+    def _save(state, ckpt):
+        save_npz(
+            f"{output_dir}/checkpoints/model_parameters_epoch_{ckpt:02d}.npz",
+            state.params,
+            mu,
+        )
+        if save_full_state:
+            from .checkpoint import save_state
+
+            save_state(
+                f"{output_dir}/checkpoints/state_epoch_{ckpt:02d}.npz",
+                state,
+                mu,
+            )
+
+    for epoch in range(start_epoch, config.n_epochs):
+        sub = jax.random.fold_in(key, epoch)
+        if reshuffle_interval and epoch and epoch % reshuffle_interval == 0:
+            data = reshuffle_dataset(data, jax.random.fold_in(sub, 1))
+        t0 = time.perf_counter()
+        state, loss = pallas_train_epoch(
+            state, data, sub, config, tile_batch=tile_batch,
+            interpret=interpret,
+        )
+        dt = time.perf_counter() - t0
+        history.append(loss)
+        if logger is not None:
+            logger.info(
+                "epoch: %03d/%03d  ;  loss:  %.2f  ;  time:  %.2f s",
+                epoch, config.n_epochs, loss, dt,
+            )
+        if metrics_cb is not None:
+            metrics_cb(epoch, loss, dt)
+        ckpt = epoch + 1
+        if config.stop_on_negative_loss and loss < 0.0:
+            state.params = smooth_params(state.params)
+            if output_dir:
+                _save(state, ckpt)
+            break
+        if ckpt % config.smooth_interval == 0:
+            state.params = smooth_params(state.params)
+        if output_dir and ckpt % config.save_interval == 0:
+            _save(state, ckpt)
+    return state.params, history

@@ -1,0 +1,205 @@
+"""Whole-epoch fused Pallas trainer vs the XLA scan epoch (interpret mode).
+
+The mega-kernel must reproduce the XLA path's entire epoch — loss
+bookkeeping, reference-normalized gradients, per-epoch Adam semantics,
+clipping — on identical batch compositions.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import qfa_tpu
+from qfa_tpu.data.loader import ResidualDataset
+from qfa_tpu.data.synthetic import generate
+from qfa_tpu.models import random_init
+from qfa_tpu.ops.epoch_kernel import fused_train_epoch
+from qfa_tpu.train import TrainConfig, TrainState, adam
+from qfa_tpu.train.loop import make_epoch_fn
+
+
+@pytest.fixture(scope="module")
+def problem():
+    grid = qfa_tpu.make_grid(1030.0, 1090.0, 1e-3)
+    nh = 4
+    true = random_init(jax.random.key(0), grid.npix, grid.nb, nh)
+    mu = jnp.full((grid.npix,), 1.1, jnp.float32)
+    n = 64
+    syn = generate(jax.random.key(1), true, mu, grid, n, mask_frac=0.15)
+    b = syn.to_batch(mu)
+    data = ResidualDataset(delta=b.delta, error=b.error, zabs=b.zabs,
+                           mask=b.mask)
+    return grid, nh, data
+
+
+def run_both(grid, nh, data, *, epoch=0, wd=0.01, refnorm=True,
+             state=None, tile_perm=None):
+    n = data.size
+    tb, n_batches = 8, 2
+    tpb = (n // tb) // n_batches
+    if tile_perm is None:
+        tile_perm = jax.random.permutation(jax.random.key(3), n // tb)
+    cfg = TrainConfig(batch_size=n // n_batches, learning_rate=1e-2,
+                      weight_decay=wd, reference_norm=refnorm,
+                      reject_nonfinite=False)
+
+    if state is None:
+        p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+        state = TrainState(p0, adam.init(p0))
+        state.opt_state = state.opt_state._replace(
+            epoch=jnp.asarray(epoch, jnp.int32)
+        )
+
+    # mega-kernel (interpret mode)
+    out = fused_train_epoch(
+        state.params, state.opt_state.m, state.opt_state.v,
+        data.delta, data.error, data.zabs, data.mask,
+        tile_perm,
+        epoch=jnp.asarray(epoch, jnp.int32),
+        n_batches=n_batches,
+        tile_batch=tb,
+        learning_rate=cfg.learning_rate,
+        weight_decay=cfg.weight_decay,
+        decay_alpha=cfg.decay_alpha,
+        decay_step=cfg.decay_step,
+        reference_norm=refnorm,
+        interpret=True,
+    )
+
+    # XLA scan epoch on the SAME batch composition
+    rows = jnp.arange(n).reshape(n // tb, tb)[tile_perm].reshape(
+        n_batches, cfg.batch_size
+    )
+    st2 = TrainState(state.params, state.opt_state)
+    st2, loss = make_epoch_fn(cfg)(st2, data, rows)
+    return out, st2, loss
+
+
+def test_epoch_kernel_matches_xla_epoch(problem):
+    grid, nh, data = problem
+    out, st_xla, loss_xla = run_both(grid, nh, data)
+
+    # per-batch losses: XLA returns sum(batch means)/niter
+    mega_loss = float(jnp.sum(out.loss_sums / jnp.maximum(out.n_real, 1.0)) / 2)
+    assert mega_loss == pytest.approx(float(loss_xla), rel=1e-5)
+
+    for name in ("F", "Psi", "omega", "tau0", "c0", "beta"):
+        a = np.asarray(getattr(out.params, name))
+        b = np.asarray(getattr(st_xla.params, name))
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-6, err_msg=name)
+        ma = np.asarray(getattr(out.m, name))
+        mb = np.asarray(getattr(st_xla.opt_state.m, name))
+        np.testing.assert_allclose(ma, mb, rtol=2e-3, atol=2e-6,
+                                   err_msg=f"m.{name}")
+        va = np.asarray(getattr(out.v, name))
+        vb = np.asarray(getattr(st_xla.opt_state.v, name))
+        np.testing.assert_allclose(va, vb, rtol=2e-3, atol=1e-9,
+                                   err_msg=f"v.{name}")
+
+
+def test_epoch_kernel_respects_epoch_counter_and_schedule(problem):
+    """LR schedule + bias correction follow the per-epoch counter."""
+    grid, nh, data = problem
+    out_e0, st_e0, _ = run_both(grid, nh, data, epoch=0)
+    out_e25, st_e25, _ = run_both(grid, nh, data, epoch=25)
+    # different epoch -> different schedule -> different result, both match XLA
+    assert not np.allclose(np.asarray(out_e0.params.F),
+                           np.asarray(out_e25.params.F))
+    np.testing.assert_allclose(
+        np.asarray(out_e25.params.F), np.asarray(st_e25.params.F),
+        rtol=2e-4, atol=2e-6,
+    )
+
+
+def test_epoch_kernel_mean_norm_mode(problem):
+    """reference_norm=False (plain batch-mean gradients) also matches."""
+    grid, nh, data = problem
+    out, st_xla, _ = run_both(grid, nh, data, refnorm=False)
+    np.testing.assert_allclose(
+        np.asarray(out.params.F), np.asarray(st_xla.params.F),
+        rtol=2e-4, atol=2e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.params.Psi), np.asarray(st_xla.params.Psi),
+        rtol=2e-4, atol=2e-6,
+    )
+
+
+def test_epoch_kernel_padded_rows_are_inert(problem):
+    """Fully-masked padding rows change nothing (including n_real)."""
+    grid, nh, data = problem
+    out_a, _, _ = run_both(grid, nh, data)
+
+    pad = 16
+    padded = ResidualDataset(
+        *(jnp.concatenate([leaf, jnp.zeros((pad,) + leaf.shape[1:],
+                                           leaf.dtype)]) for leaf in data)
+    )
+    # put the pad tiles at the end of the last batch
+    n_tiles = data.size // 8
+    pad_tiles = pad // 8
+    perm_a = jax.random.permutation(jax.random.key(3), n_tiles)
+    perm_b = jnp.concatenate([
+        perm_a, jnp.arange(n_tiles, n_tiles + pad_tiles, dtype=perm_a.dtype)
+    ])
+    p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+    state = TrainState(p0, adam.init(p0))
+    kw = dict(
+        epoch=jnp.asarray(0, jnp.int32), tile_batch=8,
+        learning_rate=1e-2, weight_decay=0.01, interpret=True,
+    )
+    out_pad = fused_train_epoch(
+        state.params, state.opt_state.m, state.opt_state.v,
+        padded.delta, padded.error, padded.zabs, padded.mask,
+        perm_b, n_batches=2, **kw,
+    )
+    # padding rows contribute nothing to the real-row counts
+    assert float(jnp.sum(out_pad.n_real)) == data.size
+    del out_a  # different batch grouping -> per-batch losses not comparable
+    # the padded run equals the XLA epoch on the SAME (padded) batches
+    cfg = TrainConfig(batch_size=padded.size // 2, learning_rate=1e-2,
+                      weight_decay=0.01, reject_nonfinite=False)
+    rows = jnp.arange(padded.size).reshape(-1, 8)[perm_b].reshape(
+        2, cfg.batch_size
+    )
+    wt = (rows < data.size).astype(jnp.float32)
+    st2 = TrainState(state.params, state.opt_state)
+    st2, _ = make_epoch_fn(cfg)(st2, padded, rows, wt)
+    np.testing.assert_allclose(np.asarray(out_pad.params.F),
+                               np.asarray(st2.params.F), rtol=2e-4,
+                               atol=2e-6)
+
+
+def test_fit_pallas_full_run(problem, tmp_path):
+    """fit_pallas: epoch-boundary semantics (smooth/save/resume) on the
+    single-launch engine (interpret mode)."""
+    import os
+
+    from qfa_tpu.train import fit_pallas
+    from qfa_tpu.train.checkpoint import latest_checkpoint, load_state
+
+    grid, nh, data = problem
+    mu = jnp.full((grid.npix,), 1.1, jnp.float32)
+    cfg = TrainConfig(n_epochs=3, batch_size=24, learning_rate=1e-2,
+                      weight_decay=0.0, smooth_interval=2, save_interval=2)
+    p0 = random_init(jax.random.key(5), grid.npix, grid.nb, nh)
+    out = str(tmp_path / "pallas_fit")
+    # 64 rows, batch 24 -> padded to 72 with inert rows (tail trains)
+    params, history = fit_pallas(
+        p0, data, mu, cfg, key=jax.random.key(6), output_dir=out,
+        tile_batch=8, interpret=True,
+    )
+    assert len(history) == 3 and np.isfinite(history).all()
+    assert os.path.exists(f"{out}/checkpoints/state_epoch_02.npz")
+
+    # resume from the snapshot -> same trajectory as uninterrupted
+    st, _ = load_state(latest_checkpoint(f"{out}/checkpoints"))
+    assert int(st.opt_state.epoch) == 2
+    params_b, hist_b = fit_pallas(
+        None, data, mu, cfg, key=jax.random.key(6), initial_state=st,
+        tile_batch=8, interpret=True,
+    )
+    assert len(hist_b) == 1
+    # epoch 2 ran pre-smoothing in both runs -> same loss
+    assert hist_b[0] == pytest.approx(history[2], rel=1e-5)
