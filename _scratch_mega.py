@@ -9,7 +9,7 @@ from qfa_tpu.ops.epoch_kernel import fused_train_epoch
 print("device:", jax.devices()[0], flush=True)
 grid = qfa_tpu.make_grid()
 nh, n, b = 8, 65536, 4096
-TB = 512
+TB = 256
 n_batches = n // b
 params = random_init(jax.random.key(0), grid.npix, grid.nb, nh)
 mu = jnp.ones((grid.npix,), jnp.float32)
@@ -23,7 +23,7 @@ perm = jax.random.permutation(jax.random.key(2), n_tiles)
 
 t0 = time.perf_counter()
 out = fused_train_epoch(
-    params, m0, v0, full.delta, full.error, full.zabs, full.mask, perm,
+    params, m0, v0, full.delta, full.error, full.zabs, perm,
     epoch=jnp.asarray(0, jnp.int32), n_batches=n_batches, tile_batch=TB,
     learning_rate=1e-3, weight_decay=0.1,
 )
@@ -39,7 +39,7 @@ for k in range(TRIALS):
     perm = jax.random.permutation(jax.random.key(10 + k), n_tiles)
     out = fused_train_epoch(
         state[0], state[1], state[2], full.delta, full.error, full.zabs,
-        full.mask, perm, epoch=jnp.asarray(ep, jnp.int32),
+        perm, epoch=jnp.asarray(ep, jnp.int32),
         n_batches=n_batches, tile_batch=TB,
         learning_rate=1e-3, weight_decay=0.1,
     )

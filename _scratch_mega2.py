@@ -1,0 +1,36 @@
+import time
+import jax, jax.numpy as jnp
+import numpy as np
+import qfa_tpu
+from qfa_tpu.data.loader import ResidualDataset
+from qfa_tpu.data.synthetic import generate
+from qfa_tpu.models import random_init
+from qfa_tpu.train import TrainConfig, TrainState, adam
+from qfa_tpu.train.pallas_engine import pallas_train_epoch
+
+def bench_mega(name, grid, nh, n, b, tb, derive_mask=False, trials=8):
+    params = random_init(jax.random.key(0), grid.npix, grid.nb, nh)
+    mu = jnp.ones((grid.npix,), jnp.float32)
+    syn = jax.jit(lambda k: generate(k, params, mu, grid, n, mask_frac=0.1))(jax.random.key(1))
+    full = jax.jit(lambda s: s.to_batch(mu))(syn)
+    data = ResidualDataset(delta=full.delta, error=full.error,
+                           zabs=full.zabs, mask=full.mask)
+    cfg = TrainConfig(batch_size=b)
+    st = TrainState(params, adam.init(params))
+    t0 = time.perf_counter()
+    st, loss = pallas_train_epoch(st, data, jax.random.key(2), cfg,
+                                  tile_batch=tb, derive_mask=derive_mask)
+    print(f"{name}: compile+first {time.perf_counter()-t0:.1f} s loss={loss:.2f}", flush=True)
+    t0 = time.perf_counter()
+    for k in range(trials):
+        st, loss = pallas_train_epoch(st, data, jax.random.key(3+k), cfg,
+                                      tile_batch=tb, derive_mask=derive_mask)
+    dt = (time.perf_counter() - t0) / trials
+    print(f"{name}: {dt*1e3:.1f} ms/epoch -> {n/dt:,.0f} spectra/s  loss={loss:.2f}", flush=True)
+
+print("device:", jax.devices()[0], flush=True)
+grid = qfa_tpu.make_grid()
+bench_mega("sdss mask", grid, 8, 65536, 4096, 256)
+desi = qfa_tpu.make_grid(1113.5772, 1600.0, 1.7029661e-05)
+assert desi.npix == 9243
+bench_mega("desi mask tb64", desi, 8, 16384, 1024, 64, trials=4)

@@ -161,36 +161,36 @@ def _epoch_kernel(
     hyper_ref,  # SMEM (1, 24)
     scal0_ref,  # SMEM (1, 16) initial scalar state
     delta_ref,  # (TB, P)
-    error_ref,
-    zabs_ref,
-    mask_ref,
-    ft0_ref,  # (NH, P) initial F (pixel-lane layout)
-    mft0_ref,  # (NH, P)
-    vft0_ref,  # (NH, P)
-    rows0_ref,  # (8, P): psi, omega, m_psi, v_psi, m_omega, v_omega
-    blue_ref,  # (1, P)
-    # outputs ---------------------------------------------------------------
-    loss_ref,  # (n_batches, 128) per-batch [nll_sum, scalar_cnt, n_real]
-    ft_out_ref,  # (NH, P)
-    mft_out_ref,
-    vft_out_ref,
-    rows_out_ref,  # (8, P)
-    scal_out_ref,  # SMEM (1, 16)
-    # scratch ---------------------------------------------------------------
-    rhst_scr,  # (RC, P): rows [gram | F | ones]
-    drhst_scr,  # (RC, P) per-batch gradient accumulator
-    mft_scr,  # (NH, P)
-    vft_scr,  # (NH, P)
-    rows_scr,  # (8, P)
-    grows_scr,  # (8, P) per-batch accumulators
-    small_scr,  # (1, 128): [nll_sum, scalar_count, n_real]
-    sc_scr,  # SMEM (1, 16) scalar state
-    *,
+    error_ref,  # (TB, P); masked pixels carry error == 0 (data layer)
+    zabs_ref,  # (TB, P) absorber redshifts (zeros on red/pad lanes)
+    *rest,  # [mask_ref unless derive_mask], then:
+    # ft0_ref (NH, P) initial F; mft0_ref; vft0_ref;
+    # rows0_ref (8, P): psi, omega, m_psi, v_psi, m_omega, v_omega;
+    # blue_ref (1, P)
+    # outputs:
+    # loss_ref (n_batches, 128) per-batch [nll_sum, scalar_cnt, n_real];
+    # ft_out_ref (NH, P); mft_out_ref; vft_out_ref; rows_out_ref (8, P);
+    # scal_out_ref SMEM (1, 16)
+    # scratch:
+    # rhst_scr (RC, P) rows [gram | F | ones]; drhst_scr (RC, P);
+    # mft_scr (NH, P); vft_scr; rows_scr (8, P); grows_scr (8, P);
+    # small_scr (1, 128); sc_scr SMEM (1, 16)
     nh: int,
     tb: int,
     tpb: int,
     n_batches: int,
+    derive_mask: bool,
 ):
+    mask_ref = None
+    if not derive_mask:
+        mask_ref, *rest = rest
+    (
+        ft0_ref, mft0_ref, vft0_ref, rows0_ref, blue_ref,
+        loss_ref, ft_out_ref, mft_out_ref, vft_out_ref, rows_out_ref,
+        scal_out_ref,
+        rhst_scr, drhst_scr, mft_scr, vft_scr, rows_scr, grows_scr,
+        small_scr, sc_scr,
+    ) = rest
     i = pl.program_id(0)  # batch index
     j = pl.program_id(1)  # tile-within-batch index
     f32 = jnp.float32
@@ -235,7 +235,13 @@ def _epoch_kernel(
     delta = delta_ref[...]
     err = error_ref[...]
     z = zabs_ref[...]
-    m = mask_ref[...]
+    if derive_mask:
+        # masked pixels are sanitized to error == 0 by the data layer, so
+        # the mask can skip HBM entirely (survey-scale memory saver; costs
+        # ~10% step time vs streaming the mask)
+        m = (err > 0.0).astype(f32)
+    else:
+        m = mask_ref[...]
     psi = rows_scr[R_PSI : R_PSI + 1, :]
     omega_row = rows_scr[R_OMEGA : R_OMEGA + 1, :]
     blue = blue_ref[...]
@@ -499,8 +505,8 @@ def fused_train_epoch(
     delta: Array,
     error: Array,
     zabs: Array,
-    mask: Array,
     tile_perm: Array,
+    mask: Array | None = None,
     *,
     epoch: Array,
     n_batches: int,
@@ -521,9 +527,14 @@ def fused_train_epoch(
 
     Args:
         params, m, v: current parameters and Adam moments.
-        delta/error/zabs/mask: resident dataset, (N, ...) with N divisible
-            by ``tile_batch``; zabs is (N, Nb). Fully-masked rows act as
+        delta/error/zabs: resident dataset, (N, ...) with N divisible by
+            ``tile_batch``; zabs is (N, Nb). Fully-masked rows act as
             padding (they contribute nothing, including to ``n_real``).
+        mask: optional (N, Npix). When omitted, the kernel derives ``mask
+            = error > 0`` on the fly (valid because the data layer
+            sanitizes masked pixels to ``error == 0`` and ``delta == 0``)
+            — saves a quarter of the resident footprint at survey scale
+            for ~10% step time.
         tile_perm: (N // tile_batch,) int32 permutation assigning data
             tiles to (batch, slot) positions — the epoch shuffle.
         epoch: int32 scalar — the reference's per-epoch Adam counter ``i``
@@ -549,16 +560,17 @@ def fused_train_epoch(
     p, rc = _round_up(npix, 128), _round_up(nh * nh + nh + 1, 8)
     f32 = jnp.float32
 
-    def pad_px(x, value=0.0):
+    def pad_px(x, width):
+        if x.shape[-1] == width and x.dtype == f32:
+            return x  # already padded by the caller: no copy at survey scale
         return jnp.pad(
-            x, [(0, 0)] * (x.ndim - 1) + [(0, p - x.shape[-1])],
-            constant_values=value,
+            x.astype(f32), [(0, 0)] * (x.ndim - 1) + [(0, width - x.shape[-1])]
         )
 
-    delta = pad_px(delta.astype(f32) * mask.astype(f32))
-    error = pad_px(error.astype(f32))
-    zabs_p = pad_px(zabs.astype(f32))
-    mask_p = pad_px(mask.astype(f32))
+    delta = pad_px(delta, p)
+    error = pad_px(error, p)
+    zabs_p = pad_px(zabs, p)
+    mask_p = pad_px(mask, p) if mask is not None else None
 
     ft0 = jnp.pad(params.F.astype(f32), ((0, p - npix), (0, 0))).T
     mft0 = jnp.pad(m.F.astype(f32), ((0, p - npix), (0, 0))).T
@@ -580,7 +592,7 @@ def fused_train_epoch(
             jnp.zeros((p,), f32),
         ]
     )
-    blue0 = row(jnp.ones((nb,), f32), nb)[None, :]
+    blue0 = jnp.zeros((p,), f32).at[:nb].set(1.0)[None, :]
 
     # per-epoch scheduled LR + bias correction (reference per-epoch step)
     t = (epoch + 1).astype(f32)
@@ -613,12 +625,14 @@ def fused_train_epoch(
         scal0 = scal0.at[0, slot].set(jnp.asarray(val, f32))
 
     kernel = functools.partial(
-        _epoch_kernel, nh=nh, tb=tb, tpb=tpb, n_batches=n_batches
+        _epoch_kernel, nh=nh, tb=tb, tpb=tpb, n_batches=n_batches,
+        derive_mask=mask is None,
     )
     tile_spec = pl.BlockSpec(
         (tb, p), lambda i, j, perm: (perm[i * tpb + j], 0),
         memory_space=pltpu.VMEM,
     )
+
     whole = lambda shape: pl.BlockSpec(
         shape, lambda i, j, perm: tuple(0 for _ in shape),
         memory_space=pltpu.VMEM,
@@ -634,8 +648,8 @@ def fused_train_epoch(
                          memory_space=pltpu.SMEM),
             tile_spec,  # delta
             tile_spec,  # error
-            tile_spec,  # zabs
-            tile_spec,  # mask
+            tile_spec,  # zabs (full width, zeros on red/pad lanes)
+            *([] if mask_p is None else [tile_spec]),  # mask
             whole((nh, p)),  # ft0
             whole((nh, p)),  # mft0
             whole((nh, p)),  # vft0
@@ -683,7 +697,8 @@ def fused_train_epoch(
         interpret=interpret,
     )(
         tile_perm.astype(jnp.int32),
-        hyper, scal0, delta, error, zabs_p, mask_p,
+        hyper, scal0, delta, error, zabs_p,
+        *([] if mask_p is None else [mask_p]),
         ft0, mft0, vft0, rows0, blue0,
     )
 

@@ -2,7 +2,12 @@
 
 from . import adam
 from .checkpoint import latest_checkpoint, load_state, save_state
-from .pallas_engine import fit_pallas, pallas_train_epoch, pick_tile_batch
+from .pallas_engine import (
+    fit_pallas,
+    make_pallas_epoch_fn,
+    pallas_train_epoch,
+    pick_tile_batch,
+)
 from .loop import (
     TrainConfig,
     TrainState,
@@ -26,6 +31,7 @@ __all__ = [
     "TrainState",
     "fit",
     "fit_pallas",
+    "make_pallas_epoch_fn",
     "fit_streaming",
     "pallas_train_epoch",
     "pick_tile_batch",

@@ -31,7 +31,12 @@ from ..ops.epoch_kernel import fused_train_epoch
 from . import adam
 from .loop import TrainConfig, TrainState, reshuffle_dataset
 
-__all__ = ["pallas_train_epoch", "fit_pallas", "pick_tile_batch"]
+__all__ = [
+    "make_pallas_epoch_fn",
+    "pallas_train_epoch",
+    "fit_pallas",
+    "pick_tile_batch",
+]
 
 
 def pick_tile_batch(batch_size: int, npix: int, limit: int = 256) -> int:
@@ -49,6 +54,71 @@ def pick_tile_batch(batch_size: int, npix: int, limit: int = 256) -> int:
     return tb
 
 
+_EPOCH_FN_CACHE: dict = {}
+
+
+def make_pallas_epoch_fn(
+    config: TrainConfig,
+    *,
+    tile_batch: int,
+    derive_mask: bool = False,
+    interpret: bool = False,
+):
+    """Jitted single-dispatch epoch: ``(state, data, key) -> (state, loss)``.
+
+    The tile-permutation draw, the whole-epoch kernel and the loss
+    bookkeeping all live inside ONE jit — a per-epoch
+    ``jax.random.permutation`` outside would cost a second dispatch, which
+    on the tunneled device is comparable to the epoch itself. The returned
+    loss is a device scalar (no host sync): chained epochs pipeline
+    back-to-back.
+    """
+    cache_key = (config, tile_batch, derive_mask, interpret)
+    fn = _EPOCH_FN_CACHE.get(cache_key)
+    if fn is not None:
+        return fn
+    tb = tile_batch
+    b = config.batch_size
+
+    @jax.jit
+    def epoch_fn(state: TrainState, data: ResidualDataset, key: jax.Array):
+        n = data.delta.shape[0]
+        perm = jax.random.permutation(key, n // tb)
+        out = fused_train_epoch(
+            state.params,
+            state.opt_state.m,
+            state.opt_state.v,
+            data.delta,
+            data.error,
+            data.zabs,
+            perm,
+            None if derive_mask else data.mask,
+            epoch=state.opt_state.epoch,
+            n_batches=n // b,
+            tile_batch=tb,
+            learning_rate=config.learning_rate,
+            weight_decay=config.weight_decay,
+            decay_alpha=config.decay_alpha,
+            decay_step=config.decay_step,
+            bounds=config.bounds,
+            tau_which=config.options.tau_which,
+            reference_norm=config.reference_norm,
+            interpret=interpret,
+        )
+        new_state = TrainState(
+            out.params,
+            adam.AdamState(
+                m=out.m, v=out.v, epoch=state.opt_state.epoch + 1
+            ),
+        )
+        # reference epoch-loss bookkeeping: sum of batch means / niter
+        batch_means = out.loss_sums / jnp.maximum(out.n_real, 1.0)
+        return new_state, jnp.sum(batch_means) / max(n // b, 1)
+
+    _EPOCH_FN_CACHE[cache_key] = epoch_fn
+    return epoch_fn
+
+
 def pallas_train_epoch(
     state: TrainState,
     data: ResidualDataset,
@@ -57,12 +127,15 @@ def pallas_train_epoch(
     *,
     tile_batch: int | None = None,
     interpret: bool = False,
+    derive_mask: bool = False,
 ) -> tuple[TrainState, float]:
     """One full training epoch in a single kernel launch.
 
     ``data.size`` must be a multiple of ``config.batch_size`` and the
     batch size a multiple of the tile (pad the dataset with zero rows —
-    they are inert). Returns (new state, reference-bookkeeping epoch loss).
+    they are inert). ``derive_mask=True`` recomputes the mask from
+    ``error > 0`` in-kernel instead of streaming it from HBM (survey-scale
+    memory saver). Returns (new state, reference-bookkeeping epoch loss).
     """
     n = data.size
     b = config.batch_size
@@ -71,37 +144,11 @@ def pallas_train_epoch(
     tb = tile_batch or pick_tile_batch(b, data.delta.shape[1])
     if b % tb:
         raise ValueError(f"batch {b} not a multiple of tile {tb}")
-    n_batches = n // b
-    perm = jax.random.permutation(key, n // tb)
-    out = fused_train_epoch(
-        state.params,
-        state.opt_state.m,
-        state.opt_state.v,
-        data.delta,
-        data.error,
-        data.zabs,
-        data.mask,
-        perm,
-        epoch=state.opt_state.epoch,
-        n_batches=n_batches,
-        tile_batch=tb,
-        learning_rate=config.learning_rate,
-        weight_decay=config.weight_decay,
-        decay_alpha=config.decay_alpha,
-        decay_step=config.decay_step,
-        bounds=config.bounds,
-        tau_which=config.options.tau_which,
-        reference_norm=config.reference_norm,
-        interpret=interpret,
+    epoch_fn = make_pallas_epoch_fn(
+        config, tile_batch=tb, derive_mask=derive_mask, interpret=interpret
     )
-    new_state = TrainState(
-        out.params,
-        adam.AdamState(m=out.m, v=out.v, epoch=state.opt_state.epoch + 1),
-    )
-    # reference epoch-loss bookkeeping: sum of batch means / niter
-    batch_means = out.loss_sums / jnp.maximum(out.n_real, 1.0)
-    loss = float(jnp.sum(batch_means)) / max(n_batches, 1)
-    return new_state, loss
+    state, loss = epoch_fn(state, data, key)
+    return state, float(loss)
 
 
 def fit_pallas(

@@ -54,7 +54,7 @@ def run_both(grid, nh, data, *, epoch=0, wd=0.01, refnorm=True,
     # mega-kernel (interpret mode)
     out = fused_train_epoch(
         state.params, state.opt_state.m, state.opt_state.v,
-        data.delta, data.error, data.zabs, data.mask,
+        data.delta, data.error, data.zabs,
         tile_perm,
         epoch=jnp.asarray(epoch, jnp.int32),
         n_batches=n_batches,
@@ -151,7 +151,7 @@ def test_epoch_kernel_padded_rows_are_inert(problem):
     )
     out_pad = fused_train_epoch(
         state.params, state.opt_state.m, state.opt_state.v,
-        padded.delta, padded.error, padded.zabs, padded.mask,
+        padded.delta, padded.error, padded.zabs,
         perm_b, n_batches=2, **kw,
     )
     # padding rows contribute nothing to the real-row counts
@@ -203,3 +203,26 @@ def test_fit_pallas_full_run(problem, tmp_path):
     assert len(hist_b) == 1
     # epoch 2 ran pre-smoothing in both runs -> same loss
     assert hist_b[0] == pytest.approx(history[2], rel=1e-5)
+
+
+def test_epoch_kernel_derived_mask_matches(problem):
+    """mask=None (derived from error > 0) equals the explicit-mask run."""
+    grid, nh, data = problem
+    p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+    st = TrainState(p0, adam.init(p0))
+    perm = jax.random.permutation(jax.random.key(3), data.size // 8)
+    kw = dict(epoch=jnp.asarray(0, jnp.int32), n_batches=2, tile_batch=8,
+              learning_rate=1e-2, weight_decay=0.01, interpret=True)
+    out_m = fused_train_epoch(
+        st.params, st.opt_state.m, st.opt_state.v,
+        data.delta, data.error, data.zabs, perm, data.mask, **kw,
+    )
+    out_d = fused_train_epoch(
+        st.params, st.opt_state.m, st.opt_state.v,
+        data.delta, data.error, data.zabs, perm, None, **kw,
+    )
+    np.testing.assert_allclose(np.asarray(out_d.loss_sums),
+                               np.asarray(out_m.loss_sums), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(out_d.params), jax.tree.leaves(out_m.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
+                                   atol=1e-8)
