@@ -7,11 +7,18 @@ Baseline (BASELINE.md, measured from the PyTorch reference on CPU):
     * training likelihood+gradient: 2.4 spectra/s
     * single-spectrum inference: 5.5 spectra/s
 
-The benchmark runs the full SDSS-scale problem (Npix=1913, Nb=720, Nh=8)
-on synthetic data drawn from the generative model: a complete training
-epoch (likelihood + autodiff gradient + reference-normalized Adam update +
-clip, batched) and the batched inference pipeline (NLL + posterior +
-continuum + uncertainty).
+Headline: the whole-epoch fused Pallas trainer (ONE kernel launch per
+epoch — ``qfa_tpu.ops.epoch_kernel``) on the full SDSS-scale problem
+(Npix=1913, Nb=720, Nh=8) with synthetic data from the generative model.
+Extras: the XLA scan-epoch trainer, batched inference, DESI scale
+(Npix=9243), the 500k-spectrum north-star demo (BASELINE.md: 500k in
+<10 min), and a measured roofline/MFU accounting (in-bench calibration of
+peak MXU TF/s and HBM read bandwidth on this very chip).
+
+Measurement discipline for the tunneled device (see CLAUDE.md): repeated
+identical dispatches are memoized upstream, so every trial varies its
+inputs (fresh shuffle keys), epochs are CHAINED through the training
+state, and one host sync closes each timing window.
 """
 
 from __future__ import annotations
@@ -26,112 +33,235 @@ import numpy as np
 TRAIN_BASELINE = 2.4  # spectra/s, reference hot loop on 1 CPU core
 INFER_BASELINE = 5.5  # spectra/s, reference predict path on 1 CPU core
 
+# Analytic MXU FLOPs per spectrum inside the epoch kernel (all f32-HIGHEST):
+# forward K/w dots (2 rows x RC), scalar contractions (4 x 1), backward
+# per-pixel cotangents (nh^2 + nh), gradient accumulation (2 rows x RC).
+def kernel_flops_per_spectrum(p: int, rc: int, nh: int) -> float:
+    return 2.0 * p * (2 * rc + 4 + (nh * nh + nh) + 2 * rc)
 
-def time_call(fn, *args, iters=3):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    best = float("inf")
-    for _ in range(iters):
-        t0 = time.perf_counter()
-        out = fn(*args)
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best, out
+
+def make_problem(grid, nh, n, seed=0):
+    from qfa_tpu.data.loader import ResidualDataset
+    from qfa_tpu.data.synthetic import generate
+    from qfa_tpu.models import random_init
+
+    params = random_init(jax.random.key(seed), grid.npix, grid.nb, nh)
+    mu = jnp.ones((grid.npix,), jnp.float32)
+    syn = jax.jit(
+        lambda k: generate(k, params, mu, grid, n, mask_frac=0.1)
+    )(jax.random.key(seed + 1))
+    full = jax.jit(lambda s: s.to_batch(mu))(syn)
+    data = ResidualDataset(
+        delta=full.delta, error=full.error, zabs=full.zabs, mask=full.mask
+    )
+    jax.block_until_ready(data.delta)
+    return params, mu, syn, data
+
+
+def bench_pallas_epochs(params, data, batch_size, tile_batch, trials,
+                        derive_mask=False):
+    """Chained single-dispatch epochs; one sync closes the window."""
+    from qfa_tpu.train import TrainConfig, TrainState, adam, make_pallas_epoch_fn
+
+    cfg = TrainConfig(batch_size=batch_size)
+    fn = make_pallas_epoch_fn(cfg, tile_batch=tile_batch,
+                              derive_mask=derive_mask)
+    state = TrainState(params, adam.init(params))
+    state, loss = fn(state, data, jax.random.key(100))  # compile + warmup
+    _ = float(loss)
+    t0 = time.perf_counter()
+    for k in range(trials):
+        state, loss = fn(state, data, jax.random.key(101 + k))
+    final_loss = float(loss)  # single host sync
+    dt = (time.perf_counter() - t0) / trials
+    return dt, final_loss, state
+
+
+def calibrate_peaks():
+    """Measure this chip's usable MXU TF/s and HBM read GB/s (chained,
+    sized so fixed per-kernel overheads are amortized away)."""
+    kk = 8
+    a = jax.random.normal(jax.random.key(7), (4096, 4096), jnp.float32)
+    b = jax.random.normal(jax.random.key(8), (4096, 4096), jnp.float32)
+
+    @jax.jit
+    def mm_chain(ab, st):
+        af, bf = ab
+        probe, acc = st
+        def step(acc, c):
+            y = jax.lax.dot(af * c, bf, precision=jax.lax.Precision.HIGHEST)
+            return y + acc * 1e-8, None
+        acc, _ = jax.lax.scan(step, acc, jnp.arange(1.0, kk + 1.0) + probe[0])
+        return (acc[0, :1], acc)
+
+    st = (jnp.zeros((1,)), jnp.zeros((4096, 4096), jnp.float32))
+    st = mm_chain((a, b), st)
+    _ = float(np.asarray(st[0])[0])
+    t0 = time.perf_counter()
+    st = mm_chain((a, b), st)
+    _ = float(np.asarray(st[0])[0])
+    t_mm = (time.perf_counter() - t0) / kk
+    peak_tflops = 2 * 4096**3 / t_mm / 1e12
+
+    x = jax.random.normal(jax.random.key(9), (131072, 1920), jnp.float32)
+
+    @jax.jit
+    def read_chain(x, st):
+        probe, acc = st
+        def step(acc, c):
+            return acc + jnp.sum(x * (c + probe[0] * 1e-20), axis=0), None
+        acc, _ = jax.lax.scan(step, acc, jnp.arange(1.0, kk + 1.0))
+        return (acc[:1], acc)
+
+    st = (jnp.zeros((1,)), jnp.zeros((1920,), jnp.float32))
+    st = read_chain(x, st)
+    _ = float(np.asarray(st[0])[0])
+    t0 = time.perf_counter()
+    st = read_chain(x, st)
+    _ = float(np.asarray(st[0])[0])
+    t_rd = (time.perf_counter() - t0) / kk
+    peak_read_gbps = x.size * 4 / t_rd / 1e9
+    return peak_tflops, peak_read_gbps
+
+
+def build_500k(grid, n, nh, seed=5):
+    """Survey-scale resident residual buffers, built chunk-by-chunk with
+    donation (peak memory = final footprint + one chunk). Arrays are
+    pre-padded to the kernel's lane width so no copies happen inside the
+    epoch jit; the mask is derived in-kernel (error > 0)."""
+    from qfa_tpu.data.grid import LYA_WAVELENGTH
+    from qfa_tpu.data.loader import ResidualDataset
+    from qfa_tpu.ops.fused_step import _round_up
+
+    p = _round_up(grid.npix, 128)
+    chunk = 32768
+    assert n % chunk == 0
+    blue = jnp.asarray(grid.blue, jnp.float32)
+
+    @jax.jit
+    def make_chunk(key):
+        kz, kd, ke = jax.random.split(key, 3)
+        z = jax.random.uniform(kz, (chunk,), jnp.float32, 2.0, 3.5)
+        zab = (1.0 + z)[:, None] * blue / LYA_WAVELENGTH - 1.0
+        zab = jnp.pad(zab, ((0, 0), (0, p - grid.nb)))
+        delta = 0.4 * jax.random.normal(kd, (chunk, p), jnp.float32)
+        error = jax.random.uniform(ke, (chunk, p), jnp.float32, 0.05, 0.3)
+        live = (jnp.arange(p) < grid.npix).astype(jnp.float32)
+        return delta * live, error * live, zab
+
+    @jax.jit
+    def alloc():
+        return (jnp.zeros((n, p), jnp.float32),
+                jnp.zeros((n, p), jnp.float32),
+                jnp.zeros((n, p), jnp.float32))
+
+    write = jax.jit(
+        lambda buf, c, i: jax.lax.dynamic_update_slice(buf, c, (i, 0)),
+        donate_argnums=(0,),
+    )
+    delta, error, zabs = alloc()
+    for i in range(n // chunk):
+        cd, ce, cz = make_chunk(jax.random.fold_in(jax.random.key(seed), i))
+        delta = write(delta, cd, i * chunk)
+        error = write(error, ce, i * chunk)
+        zabs = write(zabs, cz, i * chunk)
+    jax.block_until_ready(error)
+    return ResidualDataset(delta=delta, error=error, zabs=zabs, mask=None)
 
 
 def main() -> None:
     import qfa_tpu
-    from qfa_tpu.data.loader import ResidualDataset, batch_indices
-    from qfa_tpu.data.synthetic import generate
-    from qfa_tpu.models import predict, random_init
+    from qfa_tpu.data.loader import batch_indices
+    from qfa_tpu.models import random_init
     from qfa_tpu.train import TrainConfig, TrainState, adam
     from qfa_tpu.train.loop import make_epoch_fn
 
     grid = qfa_tpu.make_grid()
     nh = 8
-    n_spectra = 65536
-    batch_size = 4096
+    n_spectra, batch_size, tile = 65536, 4096, 256
 
-    key = jax.random.key(0)
-    params = random_init(key, grid.npix, grid.nb, nh)
-    mu = jnp.ones((grid.npix,), jnp.float32)
+    params, mu, syn, data = make_problem(grid, nh, n_spectra)
 
-    gen = jax.jit(
-        lambda k: generate(k, params, mu, grid, n_spectra, mask_frac=0.1)
+    # ---- headline: whole-epoch Pallas trainer ----------------------------
+    train_dt, final_loss, _ = bench_pallas_epochs(
+        params, data, batch_size, tile, trials=12
     )
-    syn = gen(jax.random.key(1))
-    to_batch = jax.jit(lambda s: s.to_batch(mu))
-    full = to_batch(syn)
-    data = ResidualDataset(
-        delta=full.delta, error=full.error, zabs=full.zabs, mask=full.mask
-    )
-    jax.block_until_ready(data.delta)
+    train_rate = n_spectra / train_dt
 
-    # ---- training epoch throughput --------------------------------------
+    # ---- XLA scan-epoch trainer (round-1 headline path) ------------------
     config = TrainConfig(batch_size=batch_size)
     epoch_fn = make_epoch_fn(config)
-
-    def run_epoch(state, idx):
-        return epoch_fn(state, data, idx)
-
+    state = TrainState(random_init(jax.random.key(0), grid.npix, grid.nb, nh),
+                       adam.init(params))
     idx = batch_indices(jax.random.key(2), n_spectra, batch_size)
-    state = TrainState(params, adam.init(params))
-    # warmup/compile (state is donated; keep the returned one)
-    state, _ = run_epoch(state, idx)
+    state, _ = epoch_fn(state, data, idx)
     jax.block_until_ready(state.params.F)
-    times = []
-    for trial in range(6):  # the shared tunnel is noisy; best-of-6
+    xla_times = []
+    for trial in range(3):
         idx = batch_indices(jax.random.key(3 + trial), n_spectra, batch_size)
         t0 = time.perf_counter()
-        state, loss = run_epoch(state, idx)
+        state, xla_loss = epoch_fn(state, data, idx)
         jax.block_until_ready(state.params.F)
-        times.append(time.perf_counter() - t0)
-    train_dt = min(times)
-    train_rate = n_spectra / train_dt
+        xla_times.append(time.perf_counter() - t0)
+    xla_rate = n_spectra / min(xla_times)
 
     # ---- inference throughput (scanned over the resident dataset) --------
     from qfa_tpu.infer import predict_resident
 
-    # note: `params` was donated into the epoch function — use the live copy
     infer_params = state.params
-    infer_dt, _ = time_call(
-        lambda: predict_resident(
-            infer_params, mu, syn.flux, syn.error, syn.zabs, syn.mask,
-            batch_size=batch_size,
-        )
-    )
-    infer_rate = n_spectra / infer_dt
+    # fresh inputs per trial (the tunnel memoizes identical executions),
+    # prepared OUTSIDE the timed window; sync via a small host pull
+    flux2 = syn.flux * 1.000001
+    _ = float(np.asarray(flux2[0, 0]))
+    res = predict_resident(infer_params, mu, syn.flux, syn.error, syn.zabs,
+                           syn.mask, batch_size=batch_size)
+    _ = float(np.asarray(res.ll[0]))
+    t0 = time.perf_counter()
+    res = predict_resident(infer_params, mu, flux2, syn.error,
+                           syn.zabs, syn.mask, batch_size=batch_size)
+    _ = float(np.asarray(res.ll[-1]))
+    infer_rate = n_spectra / (time.perf_counter() - t0)
 
-    # ---- DESI-scale training throughput (Npix=9243 grid) ------------------
+    # ---- DESI scale (Npix=9243) on the Pallas trainer ---------------------
     desi_grid = qfa_tpu.make_grid(1113.5772, 1600.0, 1.7029661e-05)
     assert desi_grid.npix == 9243
-    desi_n, desi_b = 8192, 1024
-    desi_params = random_init(jax.random.key(5), desi_grid.npix, desi_grid.nb, nh)
-    desi_mu = jnp.ones((desi_grid.npix,), jnp.float32)
-    desi_syn = jax.jit(
-        lambda k: generate(k, desi_params, desi_mu, desi_grid, desi_n,
-                           mask_frac=0.1)
-    )(jax.random.key(6))
-    desi_batch = jax.jit(lambda s: s.to_batch(desi_mu))(desi_syn)
-    desi_data = ResidualDataset(
-        delta=desi_batch.delta, error=desi_batch.error,
-        zabs=desi_batch.zabs, mask=desi_batch.mask,
+    desi_n, desi_b = 16384, 1024
+    desi_params, _, _, desi_data = make_problem(desi_grid, nh, desi_n, seed=5)
+    desi_dt, desi_loss, _ = bench_pallas_epochs(
+        desi_params, desi_data, desi_b, 64, trials=8
     )
-    jax.block_until_ready(desi_data.delta)
-    desi_cfg = TrainConfig(batch_size=desi_b)
-    desi_epoch = make_epoch_fn(desi_cfg)
-    dstate = TrainState(desi_params, adam.init(desi_params))
-    didx = batch_indices(jax.random.key(7), desi_n, desi_b)
-    dstate, _ = desi_epoch(dstate, desi_data, didx)
-    jax.block_until_ready(dstate.params.F)
-    desi_times = []
-    for trial in range(2):
-        didx = batch_indices(jax.random.key(8 + trial), desi_n, desi_b)
-        t0 = time.perf_counter()
-        dstate, dloss = desi_epoch(dstate, desi_data, didx)
-        jax.block_until_ready(dstate.params.F)
-        desi_times.append(time.perf_counter() - t0)
-    desi_rate = desi_n / min(desi_times)
+    desi_rate = desi_n / desi_dt
+
+    # free the DESI + SDSS synthetic buffers before the 500k allocation
+    del desi_data, desi_params, syn, res, data, state
+    import gc
+
+    gc.collect()
+
+    # ---- north star: 500k spectra resident on ONE chip --------------------
+    n_500k = 524288  # 128 batches of 4096 (>= 500k), 16 build chunks
+    big = build_500k(grid, n_500k, nh)
+    big_params = random_init(jax.random.key(11), grid.npix, grid.nb, nh)
+    big_dt, big_loss, _ = bench_pallas_epochs(
+        big_params, big, batch_size, tile, trials=4, derive_mask=True
+    )
+    big_rate = n_500k / big_dt
+    minutes_500 = 500 * big_dt / 60.0
+    del big
+    gc.collect()
+
+    # ---- roofline / MFU accounting ----------------------------------------
+    peak_tflops, peak_read_gbps = calibrate_peaks()
+    from qfa_tpu.ops.fused_step import _round_up
+
+    p = _round_up(grid.npix, 128)
+    rc = _round_up(nh * nh + nh + 1, 8)
+    fps = kernel_flops_per_spectrum(p, rc, nh)
+    tflops = train_rate * fps / 1e12
+    mfu_pct = 100.0 * tflops / max(peak_tflops, 1e-9)
+    bytes_per_spectrum = 4 * p * 4  # delta, error, zabs, mask (f32)
+    hbm_gbps = train_rate * bytes_per_spectrum / 1e9
+    hbm_pct = 100.0 * hbm_gbps / max(peak_read_gbps, 1e-9)
 
     result = {
         "metric": "train_spectra_per_sec_per_chip",
@@ -140,17 +270,38 @@ def main() -> None:
         "vs_baseline": round(train_rate / TRAIN_BASELINE, 1),
         "extras": {
             "platform": str(jax.devices()[0]),
+            "engine": "fused whole-epoch Pallas kernel (1 launch/epoch)",
             "npix": grid.npix,
             "nh": nh,
             "batch_size": batch_size,
             "epoch_spectra": n_spectra,
             "epoch_seconds": round(train_dt, 4),
-            "final_epoch_loss": float(loss),
+            "final_epoch_loss": final_loss,
+            "xla_train_spectra_per_sec": round(xla_rate, 1),
             "infer_spectra_per_sec": round(infer_rate, 1),
             "infer_vs_baseline": round(infer_rate / INFER_BASELINE, 1),
             "desi_npix": desi_grid.npix,
             "desi_train_spectra_per_sec": round(desi_rate, 1),
-            "desi_final_loss": float(dloss),
+            "desi_gpixels_per_sec": round(desi_rate * desi_grid.npix / 1e9, 2),
+            "sdss_gpixels_per_sec": round(train_rate * grid.npix / 1e9, 2),
+            "desi_final_loss": desi_loss,
+            "train_500k_spectra": n_500k,
+            "train_500k_spectra_per_sec": round(big_rate, 1),
+            "projected_500k_500epoch_minutes": round(minutes_500, 2),
+            "north_star_under_10min": minutes_500 < 10.0,
+            "roofline": {
+                "mxu_flops_per_spectrum": round(fps),
+                "achieved_tflops": round(tflops, 2),
+                "calibrated_peak_tflops_f32_highest": round(peak_tflops, 2),
+                "mfu_pct": round(mfu_pct, 1),
+                "achieved_hbm_read_gbps": round(hbm_gbps, 1),
+                "calibrated_peak_hbm_read_gbps": round(peak_read_gbps, 1),
+                "hbm_pct": round(hbm_pct, 1),
+                "kernel_launches_per_epoch": 1,
+                "note": "workload is launch/VPU-bound, not GEMM-bound: the "
+                        "whole epoch is one kernel; per-spectrum MXU work is "
+                        "~1.5 MFLOP against an 18k-param model",
+            },
         },
     }
     print(json.dumps(result))

@@ -193,6 +193,19 @@ def run_train(cfg: ConfigNode) -> None:
         )
 
     mesh = _build_mesh(cfg, cfg.DATA.BATCH_SIZE, logger)
+    engine = cfg.TRAIN.ENGINE
+    use_pallas = False
+    if mesh is None and val_residuals is None and engine in ("auto", "pallas"):
+        on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
+        if on_tpu:
+            use_pallas = True
+        elif engine == "pallas":
+            logger.warning(
+                "TRAIN.ENGINE=pallas requested but no TPU is visible; "
+                "falling back to the XLA trainer"
+            )
+    if use_pallas:
+        logger.info("trainer engine: fused whole-epoch Pallas kernel")
     train_cfg = TrainConfig(
         n_epochs=cfg.TRAIN.NEPOCHS,
         batch_size=cfg.DATA.BATCH_SIZE,
@@ -206,11 +219,7 @@ def run_train(cfg: ConfigNode) -> None:
         options=ModelOptions(tau_which=cfg.MODEL.TAU),
     )
     with MetricsWriter(out) as metrics:
-        params, history = fit(
-            params,
-            residuals,
-            mu,
-            train_cfg,
+        fit_kwargs = dict(
             key=jax.random.key(cfg.SEED),
             output_dir=out,
             logger=logger,
@@ -218,10 +227,19 @@ def run_train(cfg: ConfigNode) -> None:
                 epoch=e, loss=loss, seconds=dt,
                 spectra_per_s=round(residuals.size / max(dt, 1e-9), 1),
             ),
-            val_data=val_residuals,
-            mesh=mesh,
             initial_state=initial_state,
         )
+        if use_pallas:
+            from .train import fit_pallas
+
+            params, history = fit_pallas(
+                params, residuals, mu, train_cfg, **fit_kwargs
+            )
+        else:
+            params, history = fit(
+                params, residuals, mu, train_cfg,
+                val_data=val_residuals, mesh=mesh, **fit_kwargs,
+            )
     save_npz(os.path.join(out, "model_parameters.npz"), params, mu)
     logger.info("training done: %d epochs, final loss %.3f", len(history),
                 history[-1] if history else float("nan"))

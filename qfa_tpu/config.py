@@ -171,6 +171,11 @@ def default_config() -> ConfigNode:
                 #: resume from the newest full-state checkpoint (params +
                 #: Adam moments + epoch) found in OUTPUT_DIR/checkpoints.
                 "AUTO_RESUME": True,
+                #: trainer engine: "auto" picks the fused whole-epoch Pallas
+                #: kernel on a single TPU and the XLA scan epoch elsewhere
+                #: (multi-device meshes always use the XLA SPMD path);
+                #: "pallas" / "xla" force one.
+                "ENGINE": "auto",
             },
             # TPU-native extensions
             "MESH": {
