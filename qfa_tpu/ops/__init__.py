@@ -1,6 +1,7 @@
 """Custom TPU ops: fused Pallas training step + whole-epoch trainer kernel."""
 
 from .epoch_kernel import EpochOutputs, fused_train_epoch
+from .infer_kernel import FusedPredictOutputs, fused_predict
 from .fused_step import (
     TAU_LAW_ABC,
     FusedStepOutputs,
@@ -11,6 +12,8 @@ from .fused_step import (
 __all__ = [
     "EpochOutputs",
     "fused_train_epoch",
+    "FusedPredictOutputs",
+    "fused_predict",
     "TAU_LAW_ABC",
     "FusedStepOutputs",
     "finish_f_gradient",

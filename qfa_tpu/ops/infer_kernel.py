@@ -1,0 +1,293 @@
+"""Fused Pallas inference: the full prediction stack in ONE kernel launch.
+
+Per spectrum the predict path (``/root/reference/QFA/model.py:160-180``)
+needs the marginal NLL (OOD score), the posterior latents ``hmean = K^-1
+w`` / ``hcov = K^-1``, the unabsorbed continuum ``F hmean + mu`` and its
+uncertainty ``sqrt(diag(F hcov F^T))``. The XLA scan path
+(``infer.predict_resident``) is correct but dispatches ~10 kernels per
+batch — and on the target device every launch costs ~0.6 ms, which caps
+it near 150k spectra/s. This kernel runs the whole dataset in one launch:
+
+* residual assembly ``delta = (flux - mu A) mask`` (prediction-path
+  Ly-alpha-only absorption), noise diagonal, masked precision — VPU;
+* the same ``[Gram | F | ones]`` row-major contraction as the training
+  kernels: one MXU pass for all capacitances/projections per tile;
+* unrolled Cholesky + solves for ``hmean``, ``K^-1`` and the NLL;
+* two more MXU dots close the loop: ``cont = hmean @ F + mu`` against the
+  F rows, and — because ``diag(F K^-1 F^T)[p] = sum_ij K^-1[ij] G[p,ij]``
+  — the predictive variance against the Gram rows.
+
+Outputs: per-tile continuum and uncertainty planes plus a per-spectrum
+stats row packing ``[ll, n_obs, hmean, hcov]``.
+
+Verified against ``models.qfa.predict`` (itself golden-file- and
+cross-implementation-verified) in tests/test_infer_kernel.py.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.params import QFAParams
+from .epoch_kernel import _chol_t, _dot_t, _solve_lower_t, _solve_upper_t
+from .fused_step import TAU_LAW_ABC, _round_up
+
+Array = jnp.ndarray
+
+LOG_2PI = 1.8378770664093453
+
+#: stats-row layout (lane indices within the (N, 128) stats output)
+STAT_LL, STAT_NOBS, STAT_H0 = 0, 1, 2
+STAT_HCOV0 = 16  # hcov starts here -> supports nh <= 10
+
+__all__ = ["FusedPredictOutputs", "fused_predict"]
+
+
+class FusedPredictOutputs(NamedTuple):
+    ll: Array  #: (N,) per-spectrum NLL (OOD score).
+    hmean: Array  #: (N, Nh) posterior latent means.
+    hcov: Array  #: (N, Nh, Nh) posterior covariances.
+    continuum: Array  #: (N, Npix) predicted unabsorbed continuum.
+    continuum_std: Array  #: (N, Npix) predictive uncertainty.
+    n_obs: Array  #: (N,) observed-pixel counts.
+
+
+def _predict_kernel(
+    hyper_ref,  # SMEM (1, 8): law_a, law_b, law_c, tau0, c0, beta
+    flux_ref,  # (TB, P)
+    error_ref,  # (TB, P); masked pixels carry error == 0 unless mask given
+    zabs_ref,  # (TB, P)
+    *rest,  # [mask_ref], mu_ref (1,P), rows_ref (4,P), rhst_ref (RC,P),
+    # outputs: cont_ref (TB,P), std_ref (TB,P), stats_ref (TB,128)
+    nh: int,
+    tb: int,
+    derive_mask: bool,
+):
+    if derive_mask:
+        mu_ref, rows_ref, rhst_ref, cont_ref, std_ref, stats_ref = rest
+        mask_ref = None
+    else:
+        (mask_ref, mu_ref, rows_ref, rhst_ref,
+         cont_ref, std_ref, stats_ref) = rest
+    f32 = jnp.float32
+    ones_row = nh * nh + nh
+
+    law_a = hyper_ref[0, 0]
+    law_b = hyper_ref[0, 1]
+    law_c = hyper_ref[0, 2]
+    tau0 = hyper_ref[0, 3]
+    c0 = hyper_ref[0, 4]
+    beta = hyper_ref[0, 5]
+
+    flux = flux_ref[...]
+    err = error_ref[...]
+    z = zabs_ref[...]
+    m = (err > 0.0).astype(f32) if derive_mask else mask_ref[...]
+    mu = mu_ref[...]  # (1, P)
+    psi = rows_ref[0:1, :]
+    omega_row = rows_ref[1:2, :]
+    blue = rows_ref[2:3, :]
+
+    zp1 = 1.0 + z
+    tau_line = law_a * zp1**law_b + law_c
+    amp = jnp.where(blue > 0, jnp.exp(-tau_line), 1.0)
+    tau_hi = tau0 * zp1**beta
+    root = 1.0 - c0 - jnp.exp(-tau_hi)
+    zdep = jnp.where(blue > 0, root * root, 0.0)
+    delta = (flux - mu * amp) * m
+    d = amp * amp * psi + omega_row * zdep + err * err
+    d_safe = jnp.where(m > 0, d, 1.0)
+    dinv = m / d_safe
+    w_row = amp * amp * dinv
+    u_row = amp * dinv * delta
+    q_row = delta * delta * dinv
+    logd_row = m * jnp.log(d_safe)
+
+    rhst = rhst_ref[...]
+    kw = _dot_t(jnp.concatenate([w_row, u_row], axis=0), rhst)  # (2TB, RC)
+    k_part = kw[:tb, : nh * nh]
+    w_part = kw[tb:, nh * nh : nh * nh + nh]
+    ones_r = rhst_ref[ones_row : ones_row + 1, :]
+    scal3 = _dot_t(jnp.concatenate([q_row, logd_row, m], axis=0), ones_r)
+    quad = scal3[:tb, 0]
+    logdet_d = scal3[tb : 2 * tb, 0]
+    n_obs = scal3[2 * tb :, 0]
+
+    k_cols = [k_part[:, a] for a in range(nh * nh)]
+    for a in range(nh):
+        k_cols[a * nh + a] = k_cols[a * nh + a] + 1.0
+    w_cols = [w_part[:, a] for a in range(nh)]
+    chol = _chol_t(k_cols, nh)
+    y = _solve_lower_t(chol, w_cols, nh)
+    alpha = _solve_upper_t(chol, y, nh)  # hmean
+    mahal = quad - sum(yi * yi for yi in y)
+    logdet_k = 2.0 * sum(jnp.log(chol[a][a]) for a in range(nh))
+    ll = 0.5 * (mahal + n_obs * LOG_2PI + logdet_d + logdet_k)
+
+    # K^-1 column by column (posterior covariance)
+    kinv_cols = [None] * (nh * nh)
+    for b in range(nh):
+        e = [jnp.full_like(quad, 1.0 if a == b else 0.0) for a in range(nh)]
+        mj = _solve_upper_t(chol, _solve_lower_t(chol, e, nh), nh)
+        for a in range(nh):
+            kinv_cols[a * nh + b] = mj[a]
+    kinv_mat = jnp.stack(kinv_cols, axis=1)  # (TB, nh*nh)
+    alpha_mat = jnp.stack(alpha, axis=1)  # (TB, nh)
+
+    hp = dict(precision=jax.lax.Precision.HIGHEST,
+              preferred_element_type=f32)
+    cont = (
+        jax.lax.dot_general(
+            alpha_mat, rhst_ref[nh * nh : nh * nh + nh, :],
+            (((1,), (0,)), ((), ())), **hp,
+        )
+        + mu
+    )
+    var = jax.lax.dot_general(
+        kinv_mat, rhst_ref[0 : nh * nh, :], (((1,), (0,)), ((), ())), **hp
+    )
+    cont_ref[...] = cont
+    std_ref[...] = jnp.sqrt(jnp.maximum(var, 0.0))
+
+    pad_h = STAT_HCOV0 - (STAT_H0 + nh)
+    pad_tail = stats_ref.shape[1] - (STAT_HCOV0 + nh * nh)
+    stats_ref[...] = jnp.concatenate(
+        [
+            ll.reshape(tb, 1),
+            n_obs.reshape(tb, 1),
+            alpha_mat,
+            jnp.zeros((tb, pad_h), f32),
+            kinv_mat,
+            jnp.zeros((tb, pad_tail), f32),
+        ],
+        axis=1,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tau_which", "tile_batch", "interpret")
+)
+def fused_predict(
+    params: QFAParams,
+    mu: Array,
+    flux: Array,
+    error: Array,
+    zabs: Array,
+    mask: Array | None = None,
+    *,
+    tau_which: str = "becker",
+    tile_batch: int = 256,
+    interpret: bool = False,
+) -> FusedPredictOutputs:
+    """Predict continua/posteriors/OOD scores for a resident dataset in one
+    kernel launch.
+
+    ``N`` must be a multiple of ``tile_batch`` (pad with zero rows — they
+    come back as inert all-masked outputs). ``mask=None`` derives the mask
+    from ``error > 0`` (the data layer sanitizes masked pixels to 0).
+    """
+    npix, nh = params.F.shape
+    nb = params.omega.shape[0]
+    if nh > 10:
+        raise ValueError("stats-row layout supports nh <= 10")
+    n = flux.shape[0]
+    tb = tile_batch
+    if n % tb:
+        raise ValueError(f"N={n} not divisible by tile_batch={tb}")
+    p, rc = _round_up(npix, 128), _round_up(nh * nh + nh + 1, 8)
+    f32 = jnp.float32
+
+    def pad_px(x, width=None):
+        width = p if width is None else width
+        if x.shape[-1] == width and x.dtype == f32:
+            return x
+        return jnp.pad(
+            x.astype(f32), [(0, 0)] * (x.ndim - 1) + [(0, width - x.shape[-1])]
+        )
+
+    flux_p = pad_px(flux)
+    error_p = pad_px(error)
+    zabs_p = pad_px(zabs)
+    mask_p = pad_px(mask) if mask is not None else None
+
+    def row(x, width=None):
+        width = npix if width is None else width
+        return jnp.zeros((p,), f32).at[:width].set(x.astype(f32))
+
+    rows = jnp.stack([
+        row(params.Psi),
+        row(params.omega, nb),
+        row(jnp.ones((nb,), f32), nb),
+        jnp.zeros((p,), f32),
+    ])
+    mu_row = row(mu)[None, :]
+    # [gram | F | ones] rows, built once outside the kernel (read-only here)
+    f_p = jnp.pad(params.F.astype(f32), ((0, p - npix), (0, 0)))
+    gram_t = (f_p.T[:, None, :] * f_p.T[None, :, :]).reshape(nh * nh, p)
+    rhst = jnp.concatenate(
+        [gram_t, f_p.T, jnp.ones((1, p), f32),
+         jnp.zeros((rc - nh * nh - nh - 1, p), f32)]
+    )
+
+    law_a, law_b, law_c = TAU_LAW_ABC[tau_which]
+    hyper = jnp.stack(
+        [jnp.asarray(law_a, f32), jnp.asarray(law_b, f32),
+         jnp.asarray(law_c, f32), params.tau0.astype(f32),
+         params.c0.astype(f32), params.beta.astype(f32),
+         jnp.asarray(0.0, f32), jnp.asarray(0.0, f32)]
+    )[None, :]
+
+    kernel = functools.partial(
+        _predict_kernel, nh=nh, tb=tb, derive_mask=mask is None
+    )
+    tile = pl.BlockSpec((tb, p), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    whole = lambda shape: pl.BlockSpec(
+        shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
+    )
+    cont, std, stats = pl.pallas_call(
+        kernel,
+        grid=(n // tb,),
+        in_specs=[
+            pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            tile,  # flux
+            tile,  # error
+            tile,  # zabs
+            *([] if mask_p is None else [tile]),
+            whole((1, p)),  # mu
+            whole((4, p)),  # psi/omega/blue rows
+            whole((rc, p)),  # rhst
+        ],
+        out_specs=[
+            tile,  # continuum
+            tile,  # std
+            pl.BlockSpec((tb, 128), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),  # stats
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, p), f32),
+            jax.ShapeDtypeStruct((n, p), f32),
+            jax.ShapeDtypeStruct((n, 128), f32),
+        ],
+        compiler_params=None
+        if interpret
+        else pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        hyper, flux_p, error_p, zabs_p,
+        *([] if mask_p is None else [mask_p]),
+        mu_row, rows, rhst,
+    )
+    return FusedPredictOutputs(
+        ll=stats[:, STAT_LL],
+        hmean=stats[:, STAT_H0 : STAT_H0 + nh],
+        hcov=stats[:, STAT_HCOV0 : STAT_HCOV0 + nh * nh].reshape(n, nh, nh),
+        continuum=cont[:, :npix],
+        continuum_std=std[:, :npix],
+        n_obs=stats[:, STAT_NOBS],
+    )

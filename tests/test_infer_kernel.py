@@ -1,0 +1,92 @@
+"""Fused Pallas inference kernel vs the XLA predict path (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import qfa_tpu
+from qfa_tpu.data.synthetic import generate
+from qfa_tpu.models import predict, random_init
+from qfa_tpu.ops.infer_kernel import fused_predict
+
+
+@pytest.fixture(scope="module")
+def problem():
+    grid = qfa_tpu.make_grid(1030.0, 1090.0, 1e-3)
+    nh = 4
+    params = random_init(jax.random.key(0), grid.npix, grid.nb, nh)
+    params = params._replace(
+        Psi=jnp.full((grid.npix,), 0.4),
+        omega=jnp.full((grid.nb,), 0.7),
+        tau0=jnp.asarray(0.12), c0=jnp.asarray(0.21), beta=jnp.asarray(1.7),
+    )
+    mu = jnp.linspace(0.9, 1.3, grid.npix).astype(jnp.float32)
+    syn = generate(jax.random.key(1), params, mu, grid, 32, mask_frac=0.15)
+    return grid, params, mu, syn
+
+
+def test_fused_predict_matches_xla_predict(problem):
+    grid, params, mu, syn = problem
+    ref = predict(params, mu, syn.flux, syn.error * syn.mask, syn.zabs,
+                  syn.mask)
+    out = fused_predict(
+        params, mu, syn.flux * syn.mask, syn.error * syn.mask, syn.zabs,
+        syn.mask, tile_batch=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out.ll), np.asarray(ref.ll),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.hmean), np.asarray(ref.hmean),
+                               rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.hcov), np.asarray(ref.hcov),
+                               rtol=1e-4, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.continuum),
+                               np.asarray(ref.continuum), rtol=1e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.continuum_std),
+                               np.asarray(ref.continuum_std), rtol=1e-3,
+                               atol=1e-5)
+
+
+def test_fused_predict_derived_mask(problem):
+    """mask=None derives the mask from error > 0 and matches."""
+    grid, params, mu, syn = problem
+    flux = syn.flux * syn.mask
+    error = syn.error * syn.mask
+    out_m = fused_predict(params, mu, flux, error, syn.zabs, syn.mask,
+                          tile_batch=8, interpret=True)
+    out_d = fused_predict(params, mu, flux, error, syn.zabs, None,
+                          tile_batch=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out_d.ll), np.asarray(out_m.ll),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_d.continuum),
+                               np.asarray(out_m.continuum), rtol=1e-6)
+
+
+@pytest.mark.skipif(
+    not __import__("os").path.isdir("/root/reference/data"),
+    reason="reference data artifacts not present",
+)
+def test_fused_predict_golden_file():
+    """The kernel reproduces the reference's stored golden outputs."""
+    from qfa_tpu.models import load_npz
+
+    grid = qfa_tpu.make_grid()
+    params, mu = load_npz(
+        "/root/reference/data/model_parameters.npz", compat_c0_bug=True
+    )
+    s = np.load("/root/reference/data/spec-4321-55504-0114.npz")
+    mask = np.asarray(s["mask"], bool)
+    flux = np.where(mask, s["flux"], 0.0).astype(np.float32)
+    error = np.where(mask, s["error"], 0.0).astype(np.float32)
+    zabs = grid.zabs(np.array([float(s["z"])])).astype(np.float32)
+    out = fused_predict(
+        params, mu,
+        jnp.asarray(flux)[None], jnp.asarray(error)[None],
+        jnp.asarray(zabs), jnp.asarray(mask, jnp.float32)[None],
+        tile_batch=1, interpret=True,
+    )
+    assert float(out.ll[0]) == pytest.approx(float(s["ll"]), abs=5e-3)
+    np.testing.assert_allclose(np.asarray(out.hmean[0]), s["h"], atol=5e-5)
+    np.testing.assert_allclose(np.asarray(out.continuum[0]), s["our"],
+                               atol=5e-5)
