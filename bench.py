@@ -296,6 +296,13 @@ def main() -> None:
             "train_500k_spectra_per_sec": round(big_rate, 1),
             "projected_500k_500epoch_minutes": round(minutes_500, 2),
             "north_star_under_10min": minutes_500 < 10.0,
+            "streaming_note": "the full 500k corpus fits RESIDENT on one "
+                              "chip (in-kernel mask, ~23 KB/spectrum), so "
+                              "the streaming trainer (fit_streaming, "
+                              "tested) is not needed at the north-star "
+                              "scale; host->device over this tunneled dev "
+                              "setup is 0.04 GB/s and would measure the "
+                              "tunnel, not the framework",
             "roofline": {
                 "mxu_flops_per_spectrum": round(fps),
                 "achieved_tflops": round(tflops, 2),

@@ -157,3 +157,26 @@ def test_2d_mesh_data_pix_step_matches_single_device(problem):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=5e-4, atol=1e-5
         )
+
+
+def test_initialize_distributed_error_handling(monkeypatch):
+    """Already-initialized is tolerated; real failures re-raise."""
+    from qfa_tpu.parallel import initialize_distributed
+    import jax as _jax
+
+    calls = []
+
+    def fake_ok(**kw):
+        calls.append(kw)
+        raise RuntimeError("backend already initialized somewhere")
+
+    monkeypatch.setattr(_jax.distributed, "initialize", fake_ok)
+    initialize_distributed(coordinator_address="h:1")  # swallowed
+    assert calls
+
+    def fake_bad(**kw):
+        raise RuntimeError("connection to coordinator failed")
+
+    monkeypatch.setattr(_jax.distributed, "initialize", fake_bad)
+    with pytest.raises(RuntimeError, match="coordinator failed"):
+        initialize_distributed(coordinator_address="h:1")
