@@ -264,77 +264,81 @@ def _epoch_kernel(
     mblue = m * blue
 
     rhst = rhst_scr[...]
-    # one MXU pass for K and w (stacked rows), thin passes for the scalars
+    # Per-spectrum small-matrix work happens in LANE-MAJOR layout: the MXU
+    # emits (RC, 2TB) directly, so every K entry / projection is a SUBLANE
+    # row slice of full lanes — no strided lane gathers, no relayouts.
     wu_rows = jnp.concatenate([w_row, u_row], axis=0)  # (2TB, P)
-    kw = _dot_t(wu_rows, rhst)  # (2TB, RC)
-    k_part = kw[:tb, : nh * nh]
-    w_part = kw[tb:, nh * nh : nh * nh + nh]
-    ones_r = rhst_scr[ones_row : ones_row + 1, :]  # (1, P)
-    scal4 = _dot_t(
-        jnp.concatenate([q_row, logd_row, m, mblue], axis=0), ones_r
-    )  # (4TB, 1)
-    quad = scal4[:tb, 0]
-    logdet_d = scal4[tb : 2 * tb, 0]
-    n_obs = scal4[2 * tb : 3 * tb, 0]
-    n_blue = scal4[3 * tb :, 0]
 
-    k_cols = [k_part[:, a] for a in range(nh * nh)]
+    def dot_lanes(rows, x):
+        # (R, P) x (TB, P) -> (R, TB); outputs are lane-offset-0 so the
+        # per-spectrum math below never mixes offsets (Mosaic requirement)
+        return jax.lax.dot_general(rows, x, (((1,), (1,)), ((), ())), **_HP)
+
+    k_t = dot_lanes(rhst_scr[0 : nh * nh, :], w_row)  # (nh*nh, TB)
+    w_t = dot_lanes(rhst_scr[nh * nh : nh * nh + nh, :], u_row)  # (nh, TB)
+    ones_r = rhst_scr[ones_row : ones_row + 1, :]  # (1, P)
+    quad = dot_lanes(ones_r, q_row)  # (1, TB)
+    logdet_d = dot_lanes(ones_r, logd_row)
+    n_obs = dot_lanes(ones_r, m)
+    n_blue = dot_lanes(ones_r, mblue)
+
+    k_cols = [k_t[a : a + 1, :] for a in range(nh * nh)]
     for a in range(nh):
         k_cols[a * nh + a] = k_cols[a * nh + a] + 1.0
-    w_cols = [w_part[:, a] for a in range(nh)]
+    w_cols = [w_t[a : a + 1, :] for a in range(nh)]
     chol = _chol_t(k_cols, nh)
     y = _solve_lower_t(chol, w_cols, nh)
     alpha = _solve_upper_t(chol, y, nh)
     mahal = quad - sum(yi * yi for yi in y)
     logdet_k = 2.0 * sum(jnp.log(chol[a][a]) for a in range(nh))
-    nll_b = 0.5 * (mahal + n_obs * LOG_2PI + logdet_d + logdet_k)
-    small_scr[0:1, 0:1] += jnp.sum(nll_b.reshape(tb, 1), axis=0, keepdims=True)
-    any_blue = (n_blue > 0.5).astype(f32)
-    small_scr[0:1, 1:2] += jnp.sum(
-        any_blue.reshape(tb, 1), axis=0, keepdims=True
-    )
-    any_obs = (n_obs > 0.5).astype(f32)
-    small_scr[0:1, 2:3] += jnp.sum(
-        any_obs.reshape(tb, 1), axis=0, keepdims=True
-    )
+    nll_b = 0.5 * (mahal + n_obs * LOG_2PI + logdet_d + logdet_k)  # (1, TB)
+    # lane sums via one thin MXU dot: (3, TB) @ (TB, 1)
+    ones_tb1 = jnp.ones((tb, 1), f32)
+    sums3 = jax.lax.dot_general(
+        jnp.concatenate(
+            [nll_b, (n_blue > 0.5).astype(f32), (n_obs > 0.5).astype(f32)],
+            axis=0,
+        ),
+        ones_tb1,
+        (((1,), (0,)), ((), ())),
+        **_HP,
+    )  # (3, 1)
+    small_scr[0:1, 0:1] += sums3[0:1, :]
+    small_scr[0:1, 1:2] += sums3[1:2, :]
+    small_scr[0:1, 2:3] += sums3[2:3, :]
 
     # analytic backward: S = 1/2 (K^-1 + alpha alpha^T), dW = -alpha
-    s_cols = [None] * (nh * nh)
+    s_rows = [None] * (nh * nh)
     for b in range(nh):
         e = [jnp.full_like(quad, 1.0 if a == b else 0.0) for a in range(nh)]
         mj = _solve_upper_t(chol, _solve_lower_t(chol, e, nh), nh)
         for a in range(nh):
-            s_cols[a * nh + b] = 0.5 * (mj[a] + alpha[a] * alpha[b])
-    s_mat = jnp.stack(s_cols, axis=1)  # (TB, nh*nh)
-    alpha_mat = jnp.stack(alpha, axis=1)  # (TB, nh)
+            s_rows[a * nh + b] = 0.5 * (mj[a] + alpha[a] * alpha[b])
+    s_t = jnp.concatenate(s_rows, axis=0)  # (nh*nh, TB)
+    alpha_t = jnp.concatenate(alpha, axis=0)  # (nh, TB)
 
     dw_pix = jax.lax.dot_general(
-        s_mat, rhst_scr[0 : nh * nh, :], (((1,), (0,)), ((), ())), **_HP
-    )
+        s_t, rhst_scr[0 : nh * nh, :], (((0,), (0,)), ((), ())), **_HP
+    )  # (TB, P)
     du_pix = jax.lax.dot_general(
-        -alpha_mat, rhst_scr[nh * nh : nh * nh + nh, :],
-        (((1,), (0,)), ((), ())), **_HP,
+        -alpha_t, rhst_scr[nh * nh : nh * nh + nh, :],
+        (((0,), (0,)), ((), ())), **_HP,
     )
 
-    # single accumulation dot: [s | 0; 0 | -alpha] stacked against [w; u]
-    pad_cols = drhst_scr.shape[0] - (nh * nh + nh)
-    sa_rows = jnp.concatenate(
+    # single accumulation dot: rows [s | 0pad] act on the w lanes and rows
+    # [0 | -alpha | 0pad] on the u lanes of wu_rows
+    pad_rows = drhst_scr.shape[0] - (nh * nh + nh)
+    sa_t = jnp.concatenate(
         [
-            jnp.concatenate(
-                [s_mat, jnp.zeros((tb, nh + pad_cols), f32)], axis=1
-            ),
-            jnp.concatenate(
-                [
-                    jnp.zeros((tb, nh * nh), f32),
-                    -alpha_mat,
-                    jnp.zeros((tb, pad_cols), f32),
-                ],
-                axis=1,
-            ),
+            jnp.concatenate([s_t, jnp.zeros((nh * nh, tb), f32)], axis=1),
+            jnp.concatenate([jnp.zeros((nh, tb), f32), -alpha_t], axis=1),
+            jnp.zeros((pad_rows, 2 * tb), f32),
         ],
         axis=0,
-    )  # (2TB, RC)
-    drhst_scr[...] += _dot_acc(sa_rows, wu_rows)
+    )  # (RC, 2TB)
+    drhst_scr[...] += jax.lax.dot_general(
+        sa_t, wu_rows, (((1,), (0,)), ((), ())), **_HP
+    )
 
     dd = (-(dw_pix * w_row + du_pix * u_row + 0.5 * q_row) + 0.5 * m) / d_safe
     dd = dd * m

@@ -42,9 +42,9 @@ Array = jnp.ndarray
 
 LOG_2PI = 1.8378770664093453
 
-#: stats-row layout (lane indices within the (N, 128) stats output)
+#: stats-row layout (lane indices within the (N, 128) stats output):
+#: [ll, n_obs, hmean (nh), hcov (nh*nh)] packed contiguously
 STAT_LL, STAT_NOBS, STAT_H0 = 0, 1, 2
-STAT_HCOV0 = 16  # hcov starts here -> supports nh <= 10
 
 __all__ = ["FusedPredictOutputs", "fused_predict"]
 
@@ -109,63 +109,64 @@ def _predict_kernel(
     q_row = delta * delta * dinv
     logd_row = m * jnp.log(d_safe)
 
-    rhst = rhst_ref[...]
-    kw = _dot_t(jnp.concatenate([w_row, u_row], axis=0), rhst)  # (2TB, RC)
-    k_part = kw[:tb, : nh * nh]
-    w_part = kw[tb:, nh * nh : nh * nh + nh]
-    ones_r = rhst_ref[ones_row : ones_row + 1, :]
-    scal3 = _dot_t(jnp.concatenate([q_row, logd_row, m], axis=0), ones_r)
-    quad = scal3[:tb, 0]
-    logdet_d = scal3[tb : 2 * tb, 0]
-    n_obs = scal3[2 * tb :, 0]
+    # lane-major small-matrix work (spectra on lanes; each MXU output is
+    # lane-offset-0 so the per-spectrum math never mixes offsets)
+    hp = dict(precision=jax.lax.Precision.HIGHEST,
+              preferred_element_type=f32)
 
-    k_cols = [k_part[:, a] for a in range(nh * nh)]
+    def dot_lanes(rows, x):
+        return jax.lax.dot_general(rows, x, (((1,), (1,)), ((), ())), **hp)
+
+    k_t = dot_lanes(rhst_ref[0 : nh * nh, :], w_row)  # (nh*nh, TB)
+    w_t = dot_lanes(rhst_ref[nh * nh : nh * nh + nh, :], u_row)  # (nh, TB)
+    ones_r = rhst_ref[ones_row : ones_row + 1, :]
+    quad = dot_lanes(ones_r, q_row)  # (1, TB)
+    logdet_d = dot_lanes(ones_r, logd_row)
+    n_obs = dot_lanes(ones_r, m)
+
+    k_cols = [k_t[a : a + 1, :] for a in range(nh * nh)]
     for a in range(nh):
         k_cols[a * nh + a] = k_cols[a * nh + a] + 1.0
-    w_cols = [w_part[:, a] for a in range(nh)]
+    w_cols = [w_t[a : a + 1, :] for a in range(nh)]
     chol = _chol_t(k_cols, nh)
     y = _solve_lower_t(chol, w_cols, nh)
-    alpha = _solve_upper_t(chol, y, nh)  # hmean
+    alpha = _solve_upper_t(chol, y, nh)  # hmean rows (1, TB)
     mahal = quad - sum(yi * yi for yi in y)
     logdet_k = 2.0 * sum(jnp.log(chol[a][a]) for a in range(nh))
-    ll = 0.5 * (mahal + n_obs * LOG_2PI + logdet_d + logdet_k)
+    ll = 0.5 * (mahal + n_obs * LOG_2PI + logdet_d + logdet_k)  # (1, TB)
 
-    # K^-1 column by column (posterior covariance)
-    kinv_cols = [None] * (nh * nh)
+    # K^-1 rows (posterior covariance), lane-major
+    kinv_rows = [None] * (nh * nh)
     for b in range(nh):
         e = [jnp.full_like(quad, 1.0 if a == b else 0.0) for a in range(nh)]
         mj = _solve_upper_t(chol, _solve_lower_t(chol, e, nh), nh)
         for a in range(nh):
-            kinv_cols[a * nh + b] = mj[a]
-    kinv_mat = jnp.stack(kinv_cols, axis=1)  # (TB, nh*nh)
-    alpha_mat = jnp.stack(alpha, axis=1)  # (TB, nh)
+            kinv_rows[a * nh + b] = mj[a]
+    kinv_t = jnp.concatenate(kinv_rows, axis=0)  # (nh*nh, TB)
+    alpha_t = jnp.concatenate(alpha, axis=0)  # (nh, TB)
 
-    hp = dict(precision=jax.lax.Precision.HIGHEST,
-              preferred_element_type=f32)
     cont = (
         jax.lax.dot_general(
-            alpha_mat, rhst_ref[nh * nh : nh * nh + nh, :],
-            (((1,), (0,)), ((), ())), **hp,
+            alpha_t, rhst_ref[nh * nh : nh * nh + nh, :],
+            (((0,), (0,)), ((), ())), **hp,
         )
         + mu
     )
     var = jax.lax.dot_general(
-        kinv_mat, rhst_ref[0 : nh * nh, :], (((1,), (0,)), ((), ())), **hp
+        kinv_t, rhst_ref[0 : nh * nh, :], (((0,), (0,)), ((), ())), **hp
     )
     cont_ref[...] = cont
     std_ref[...] = jnp.sqrt(jnp.maximum(var, 0.0))
 
-    pad_h = STAT_HCOV0 - (STAT_H0 + nh)
-    pad_tail = stats_ref.shape[1] - (STAT_HCOV0 + nh * nh)
+    # pack per-spectrum stats [ll, n_obs, hmean, hcov] and transpose once
+    n_stat = 2 + nh + nh * nh
+    pad_rows = (-n_stat) % 8
+    pack = jnp.concatenate(
+        [ll, n_obs, alpha_t, kinv_t, jnp.zeros((pad_rows, tb), f32)], axis=0
+    )  # (n_stat+pad, TB)
+    stats_t = pack.T  # (TB, n_stat+pad)
     stats_ref[...] = jnp.concatenate(
-        [
-            ll.reshape(tb, 1),
-            n_obs.reshape(tb, 1),
-            alpha_mat,
-            jnp.zeros((tb, pad_h), f32),
-            kinv_mat,
-            jnp.zeros((tb, pad_tail), f32),
-        ],
+        [stats_t, jnp.zeros((tb, stats_ref.shape[1] - stats_t.shape[1]), f32)],
         axis=1,
     )
 
@@ -194,8 +195,8 @@ def fused_predict(
     """
     npix, nh = params.F.shape
     nb = params.omega.shape[0]
-    if nh > 10:
-        raise ValueError("stats-row layout supports nh <= 10")
+    if nh * nh + nh + 2 > 128:
+        raise ValueError("stats-row layout supports nh*nh+nh+2 <= 128")
     n = flux.shape[0]
     tb = tile_batch
     if n % tb:
@@ -286,7 +287,9 @@ def fused_predict(
     return FusedPredictOutputs(
         ll=stats[:, STAT_LL],
         hmean=stats[:, STAT_H0 : STAT_H0 + nh],
-        hcov=stats[:, STAT_HCOV0 : STAT_HCOV0 + nh * nh].reshape(n, nh, nh),
+        hcov=stats[:, STAT_H0 + nh : STAT_H0 + nh + nh * nh].reshape(
+            n, nh, nh
+        ),
         continuum=cont[:, :npix],
         continuum_std=std[:, :npix],
         n_obs=stats[:, STAT_NOBS],
