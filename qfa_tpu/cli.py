@@ -253,7 +253,11 @@ def run_predict(cfg: ConfigNode) -> None:
 
     from .data.grid import make_grid
     from .data.loader import SpectraDataset
-    from .infer.predict import predict_dataset, write_npz_outputs
+    from .infer.predict import (
+        predict_dataset,
+        predict_dataset_fused,
+        write_npz_outputs,
+    )
     from .models import load_npz
     from .models.qfa import ModelOptions
     from .utils.logging import make_logger, setup_run_dir
@@ -267,15 +271,27 @@ def run_predict(cfg: ConfigNode) -> None:
     dataset = SpectraDataset.from_paths(paths, max_workers=cfg.DATA.NPROCS)
     params, mu = load_npz(cfg.MODEL.RESUME, compat_c0_bug=cfg.MODEL.COMPAT_C0_BUG)
 
+    on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
+    use_fused = cfg.TRAIN.ENGINE in ("auto", "pallas") and on_tpu
     t0 = time.time()
-    result = predict_dataset(
-        params,
-        jnp.asarray(mu),
-        dataset,
-        grid,
-        batch_size=min(cfg.DATA.BATCH_SIZE, 4096),
-        options=ModelOptions(tau_which=cfg.MODEL.TAU),
-    )
+    if use_fused:
+        logger.info("predict engine: fused single-launch Pallas kernel")
+        result = predict_dataset_fused(
+            params,
+            jnp.asarray(mu),
+            dataset,
+            grid,
+            options=ModelOptions(tau_which=cfg.MODEL.TAU),
+        )
+    else:
+        result = predict_dataset(
+            params,
+            jnp.asarray(mu),
+            dataset,
+            grid,
+            batch_size=min(cfg.DATA.BATCH_SIZE, 4096),
+            options=ModelOptions(tau_which=cfg.MODEL.TAU),
+        )
     write_npz_outputs(result, dataset.paths, os.path.join(out, "predict"))
     dt = time.time() - t0
     logger.info(

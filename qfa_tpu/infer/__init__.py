@@ -3,6 +3,7 @@
 from .predict import (
     ood_scores,
     predict_dataset,
+    predict_dataset_fused,
     predict_resident,
     sample_posterior_continua,
     score_resident,
@@ -13,6 +14,7 @@ from .predict import (
 __all__ = [
     "ood_scores",
     "predict_dataset",
+    "predict_dataset_fused",
     "predict_resident",
     "sample_posterior_continua",
     "score_resident",

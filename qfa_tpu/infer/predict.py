@@ -26,6 +26,7 @@ Array = jnp.ndarray
 
 __all__ = [
     "predict_dataset",
+    "predict_dataset_fused",
     "predict_resident",
     "write_npz_outputs",
     "ood_scores",
@@ -81,6 +82,69 @@ def predict_dataset(
         outs.append(jax.tree.map(lambda a: np.asarray(a[:b]), res))
     return PredictResult(
         *(np.concatenate([getattr(o, f) for o in outs]) for f in PredictResult._fields)
+    )
+
+
+def predict_dataset_fused(
+    params: QFAParams,
+    mu: Array,
+    dataset: SpectraDataset,
+    grid: WavelengthGrid,
+    *,
+    chunk: int = 8192,
+    tile_batch: int = 256,
+    options: ModelOptions = ModelOptions(),
+    interpret: bool = False,
+) -> PredictResult:
+    """Predict a host dataset through the single-launch Pallas kernel.
+
+    One kernel launch per ``chunk`` spectra (the tail chunk is padded with
+    inert zero rows); the production TPU path of :func:`predict_dataset`
+    — identical outputs, ~10x fewer kernel launches. Returns host-side
+    stacked results for all ``N`` spectra.
+    """
+    from ..ops.infer_kernel import fused_predict
+
+    n = dataset.size
+    zabs_all = grid.zabs(dataset.zqso).astype(np.float32)
+    flux_all = np.ascontiguousarray(dataset.flux, np.float32)
+    error_all = np.ascontiguousarray(dataset.error, np.float32)
+    mask_all = np.ascontiguousarray(dataset.mask, np.float32)
+    chunk = max(tile_batch, chunk - chunk % tile_batch)
+    outs = []
+    for start, end in _batched(n, chunk):
+        b = end - start
+        pad = -(b % -tile_batch)
+
+        def prep(x):
+            x = x[start:end]
+            if pad:
+                x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
+            return jnp.asarray(x)
+
+        res = fused_predict(
+            params,
+            mu,
+            prep(flux_all),
+            prep(error_all),
+            prep(zabs_all),
+            prep(mask_all),
+            tau_which=options.tau_which,
+            tile_batch=tile_batch,
+            interpret=interpret,
+        )
+        outs.append(
+            PredictResult(
+                ll=np.asarray(res.ll[:b]),
+                hmean=np.asarray(res.hmean[:b]),
+                hcov=np.asarray(res.hcov[:b]),
+                continuum=np.asarray(res.continuum[:b]),
+                continuum_std=np.asarray(res.continuum_std[:b]),
+            )
+        )
+    return PredictResult(
+        *(np.concatenate([getattr(o, f) for o in outs])
+          for f in PredictResult._fields)
     )
 
 

@@ -90,3 +90,33 @@ def test_fused_predict_golden_file():
     np.testing.assert_allclose(np.asarray(out.hmean[0]), s["h"], atol=5e-5)
     np.testing.assert_allclose(np.asarray(out.continuum[0]), s["our"],
                                atol=5e-5)
+
+
+def test_predict_dataset_fused_matches_host_path(problem):
+    """The chunked fused-kernel driver equals predict_dataset (host path),
+    including tail-chunk padding."""
+    from qfa_tpu.data.loader import SpectraDataset
+    from qfa_tpu.infer import predict_dataset, predict_dataset_fused
+
+    grid, params, mu, syn = problem
+    m = np.asarray(syn.mask) > 0
+    ds = SpectraDataset(
+        flux=np.where(m, np.asarray(syn.flux), 0.0).astype(np.float32),
+        error=np.where(m, np.asarray(syn.error), 0.0).astype(np.float32),
+        mask=m,
+        zqso=np.asarray(syn.zqso, np.float32),
+        paths=(),
+    )
+    a = predict_dataset(params, mu, ds, grid, batch_size=8)
+    # chunk=16 with 32 spectra and tile 8 -> 2 chunks; then chunk=24 forces
+    # a padded tail chunk
+    for chunk in (16, 24):
+        b = predict_dataset_fused(params, mu, ds, grid, chunk=chunk,
+                                  tile_batch=8, interpret=True)
+        np.testing.assert_allclose(np.asarray(b.ll), np.asarray(a.ll),
+                                   rtol=2e-5)
+        np.testing.assert_allclose(np.asarray(b.continuum),
+                                   np.asarray(a.continuum), rtol=1e-4,
+                                   atol=1e-5)
+        np.testing.assert_allclose(np.asarray(b.hcov), np.asarray(a.hcov),
+                                   rtol=1e-4, atol=1e-7)
