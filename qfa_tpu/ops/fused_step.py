@@ -1,5 +1,11 @@
 """Fused Pallas training step: loss + analytic parameter gradients in ONE kernel.
 
+This is the PER-STEP engine — one launch per batch — used where batches
+arrive one at a time (the host-streaming trainer via
+``train.loop.make_pallas_step_fn``). The resident-data production trainer
+is the WHOLE-EPOCH kernel (``ops.epoch_kernel``), which additionally runs
+the optimizer in-kernel and eliminates per-batch launches entirely.
+
 The XLA path for ``loss_and_grads`` lowers to ~7-9 kernels per step (prep,
 stacked GEMM, Cholesky chain, transposed backward GEMMs, per-parameter
 reductions). Each kernel launch carries fixed overhead (acute on tunneled

@@ -149,9 +149,9 @@ def make_pallas_step_fn(
     One kernel launch computes loss + analytic gradients; the normalization,
     Adam update, clip and NaN guard fuse into a second elementwise kernel.
     Same contract as :func:`make_step_fn` — swap it into
-    :func:`fit_streaming` via ``step_fn=``. Note: on toolchains where
-    ``lax.scan`` around a ``pallas_call`` miscompiles (see CLAUDE.md), use
-    this only with Python-driven batch loops, not inside scanned epochs.
+    :func:`fit_streaming` via ``step_fn=``. For resident datasets prefer
+    the whole-epoch engine (``train.pallas_engine.fit_pallas``), which
+    also runs the optimizer in-kernel and amortizes every launch.
     """
     from ..models.qfa import normalize_with_counts
     from ..ops.fused_step import fused_loss_grads

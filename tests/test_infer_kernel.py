@@ -120,3 +120,34 @@ def test_predict_dataset_fused_matches_host_path(problem):
                                    atol=1e-5)
         np.testing.assert_allclose(np.asarray(b.hcov), np.asarray(a.hcov),
                                    rtol=1e-4, atol=1e-7)
+
+
+def test_fused_predict_fully_masked_rows(problem):
+    """Fully-masked rows are inert: ll = 0, n_obs = 0, posterior = prior."""
+    grid, params, mu, syn = problem
+    flux = np.array(syn.flux * syn.mask)
+    error = np.array(syn.error * syn.mask)
+    mask = np.array(syn.mask)
+    flux[3] = 0.0
+    error[3] = 0.0
+    mask[3] = 0.0
+    out = fused_predict(
+        params, mu, jnp.asarray(flux), jnp.asarray(error), syn.zabs,
+        jnp.asarray(mask), tile_batch=8, interpret=True,
+    )
+    assert float(out.ll[3]) == 0.0
+    assert float(out.n_obs[3]) == 0.0
+    # prior posterior: hmean = 0, hcov = I
+    np.testing.assert_allclose(np.asarray(out.hmean[3]), 0.0, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.hcov[3]),
+                               np.eye(params.F.shape[1]), atol=1e-5)
+    # continuum falls back to mu
+    np.testing.assert_allclose(np.asarray(out.continuum[3]),
+                               np.asarray(mu), atol=1e-5)
+    # other rows unaffected
+    ref = fused_predict(
+        params, mu, syn.flux * syn.mask, syn.error * syn.mask, syn.zabs,
+        syn.mask, tile_batch=8, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(out.ll[:3]), np.asarray(ref.ll[:3]),
+                               rtol=1e-6)
