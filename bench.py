@@ -24,11 +24,20 @@ state, and one host sync closes each timing window.
 from __future__ import annotations
 
 import json
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+_T0 = time.perf_counter()
+
+
+def stage(msg: str) -> None:
+    """Progress marker on stderr (stdout carries only the JSON line)."""
+    print(f"[bench +{time.perf_counter() - _T0:6.1f}s] {msg}",
+          file=sys.stderr, flush=True)
 
 TRAIN_BASELINE = 2.4  # spectra/s, reference hot loop on 1 CPU core
 INFER_BASELINE = 5.5  # spectra/s, reference predict path on 1 CPU core
@@ -180,15 +189,18 @@ def main() -> None:
     nh = 8
     n_spectra, batch_size, tile = 65536, 4096, 256
 
+    stage("sdss data")
     params, mu, syn, data = make_problem(grid, nh, n_spectra)
 
     # ---- headline: whole-epoch Pallas trainer ----------------------------
+    stage("pallas epoch trainer")
     train_dt, final_loss, _ = bench_pallas_epochs(
         params, data, batch_size, tile, trials=12
     )
     train_rate = n_spectra / train_dt
 
     # ---- XLA scan-epoch trainer (round-1 headline path) ------------------
+    stage("xla epoch trainer")
     config = TrainConfig(batch_size=batch_size)
     epoch_fn = make_epoch_fn(config)
     state = TrainState(random_init(jax.random.key(0), grid.npix, grid.nb, nh),
@@ -206,6 +218,7 @@ def main() -> None:
     xla_rate = n_spectra / min(xla_times)
 
     # ---- inference throughput: fused single-launch prediction kernel ------
+    stage("fused inference")
     from qfa_tpu.ops import fused_predict
 
     infer_params = state.params
@@ -229,6 +242,7 @@ def main() -> None:
     infer_rate = n_spectra / min(infer_times)
 
     # ---- DESI scale (Npix=9243) on the Pallas trainer ---------------------
+    stage("desi")
     desi_grid = qfa_tpu.make_grid(1113.5772, 1600.0, 1.7029661e-05)
     assert desi_grid.npix == 9243
     desi_n, desi_b = 16384, 1024
@@ -245,6 +259,7 @@ def main() -> None:
     gc.collect()
 
     # ---- north star: 500k spectra resident on ONE chip --------------------
+    stage("500k north star")
     n_500k = 524288  # 128 batches of 4096 (>= 500k), 16 build chunks
     big = build_500k(grid, n_500k, nh)
     big_params = random_init(jax.random.key(11), grid.npix, grid.nb, nh)
@@ -257,6 +272,7 @@ def main() -> None:
     gc.collect()
 
     # ---- roofline / MFU accounting ----------------------------------------
+    stage("calibration")
     peak_tflops, peak_read_gbps = calibrate_peaks()
     from qfa_tpu.ops.fused_step import _round_up
 

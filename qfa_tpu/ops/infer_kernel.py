@@ -64,17 +64,22 @@ def _predict_kernel(
     error_ref,  # (TB, P); masked pixels carry error == 0 unless mask given
     zabs_ref,  # (TB, P)
     *rest,  # [mask_ref], mu_ref (1,P), rows_ref (4,P), rhst_ref (RC,P),
-    # outputs: cont_ref (TB,P), std_ref (TB,P), stats_ref (TB,128)
+    # outputs: [cont_ref (TB,P), std_ref (TB,P) unless stats_only],
+    #          stats_ref (TB,128)
     nh: int,
     tb: int,
     derive_mask: bool,
+    stats_only: bool,
 ):
-    if derive_mask:
-        mu_ref, rows_ref, rhst_ref, cont_ref, std_ref, stats_ref = rest
-        mask_ref = None
+    mask_ref = None
+    if not derive_mask:
+        mask_ref, *rest = rest
+    mu_ref, rows_ref, rhst_ref, *rest = rest
+    if stats_only:
+        cont_ref = std_ref = None
+        (stats_ref,) = rest
     else:
-        (mask_ref, mu_ref, rows_ref, rhst_ref,
-         cont_ref, std_ref, stats_ref) = rest
+        cont_ref, std_ref, stats_ref = rest
     f32 = jnp.float32
     ones_row = nh * nh + nh
 
@@ -145,18 +150,19 @@ def _predict_kernel(
     kinv_t = jnp.concatenate(kinv_rows, axis=0)  # (nh*nh, TB)
     alpha_t = jnp.concatenate(alpha, axis=0)  # (nh, TB)
 
-    cont = (
-        jax.lax.dot_general(
-            alpha_t, rhst_ref[nh * nh : nh * nh + nh, :],
-            (((0,), (0,)), ((), ())), **hp,
+    if not stats_only:
+        cont = (
+            jax.lax.dot_general(
+                alpha_t, rhst_ref[nh * nh : nh * nh + nh, :],
+                (((0,), (0,)), ((), ())), **hp,
+            )
+            + mu
         )
-        + mu
-    )
-    var = jax.lax.dot_general(
-        kinv_t, rhst_ref[0 : nh * nh, :], (((0,), (0,)), ((), ())), **hp
-    )
-    cont_ref[...] = cont
-    std_ref[...] = jnp.sqrt(jnp.maximum(var, 0.0))
+        var = jax.lax.dot_general(
+            kinv_t, rhst_ref[0 : nh * nh, :], (((0,), (0,)), ((), ())), **hp
+        )
+        cont_ref[...] = cont
+        std_ref[...] = jnp.sqrt(jnp.maximum(var, 0.0))
 
     # pack per-spectrum stats [ll, n_obs, hmean, hcov] and transpose once
     n_stat = 2 + nh + nh * nh
@@ -172,7 +178,8 @@ def _predict_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tau_which", "tile_batch", "interpret")
+    jax.jit,
+    static_argnames=("tau_which", "tile_batch", "interpret", "stats_only"),
 )
 def fused_predict(
     params: QFAParams,
@@ -185,6 +192,7 @@ def fused_predict(
     tau_which: str = "becker",
     tile_batch: int = 256,
     interpret: bool = False,
+    stats_only: bool = False,
 ) -> FusedPredictOutputs:
     """Predict continua/posteriors/OOD scores for a resident dataset in one
     kernel launch.
@@ -192,6 +200,12 @@ def fused_predict(
     ``N`` must be a multiple of ``tile_batch`` (pad with zero rows — they
     come back as inert all-masked outputs). ``mask=None`` derives the mask
     from ``error > 0`` (the data layer sanitizes masked pixels to 0).
+
+    ``stats_only=True`` skips the two (N, Npix) continuum/uncertainty
+    planes and returns only the per-spectrum stats (ll, posterior,
+    n_obs) — the survey-scale OOD sweep: output traffic drops from
+    ~2 Npix floats to 128 per spectrum (``continuum``/``continuum_std``
+    come back as None).
     """
     npix, nh = params.F.shape
     nb = params.omega.shape[0]
@@ -245,13 +259,14 @@ def fused_predict(
     )[None, :]
 
     kernel = functools.partial(
-        _predict_kernel, nh=nh, tb=tb, derive_mask=mask is None
+        _predict_kernel, nh=nh, tb=tb, derive_mask=mask is None,
+        stats_only=stats_only,
     )
     tile = pl.BlockSpec((tb, p), lambda i: (i, 0), memory_space=pltpu.VMEM)
     whole = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
-    cont, std, stats = pl.pallas_call(
+    outs = pl.pallas_call(
         kernel,
         grid=(n // tb,),
         in_specs=[
@@ -265,14 +280,15 @@ def fused_predict(
             whole((rc, p)),  # rhst
         ],
         out_specs=[
-            tile,  # continuum
-            tile,  # std
+            *([] if stats_only else [tile, tile]),  # continuum, std
             pl.BlockSpec((tb, 128), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),  # stats
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, p), f32),
-            jax.ShapeDtypeStruct((n, p), f32),
+            *([] if stats_only else [
+                jax.ShapeDtypeStruct((n, p), f32),
+                jax.ShapeDtypeStruct((n, p), f32),
+            ]),
             jax.ShapeDtypeStruct((n, 128), f32),
         ],
         compiler_params=None
@@ -284,13 +300,18 @@ def fused_predict(
         *([] if mask_p is None else [mask_p]),
         mu_row, rows, rhst,
     )
+    if stats_only:
+        (stats,) = outs
+        cont = std = None
+    else:
+        cont, std, stats = outs
     return FusedPredictOutputs(
         ll=stats[:, STAT_LL],
         hmean=stats[:, STAT_H0 : STAT_H0 + nh],
         hcov=stats[:, STAT_H0 + nh : STAT_H0 + nh + nh * nh].reshape(
             n, nh, nh
         ),
-        continuum=cont[:, :npix],
-        continuum_std=std[:, :npix],
+        continuum=None if stats_only else cont[:, :npix],
+        continuum_std=None if stats_only else std[:, :npix],
         n_obs=stats[:, STAT_NOBS],
     )

@@ -151,3 +151,21 @@ def test_fused_predict_fully_masked_rows(problem):
     )
     np.testing.assert_allclose(np.asarray(out.ll[:3]), np.asarray(ref.ll[:3]),
                                rtol=1e-6)
+
+
+def test_fused_predict_stats_only(problem):
+    """OOD-sweep mode: same ll/posterior, no continuum planes."""
+    grid, params, mu, syn = problem
+    flux = syn.flux * syn.mask
+    error = syn.error * syn.mask
+    full = fused_predict(params, mu, flux, error, syn.zabs, syn.mask,
+                         tile_batch=8, interpret=True)
+    lean = fused_predict(params, mu, flux, error, syn.zabs, syn.mask,
+                         tile_batch=8, interpret=True, stats_only=True)
+    assert lean.continuum is None and lean.continuum_std is None
+    np.testing.assert_allclose(np.asarray(lean.ll), np.asarray(full.ll),
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lean.hmean),
+                               np.asarray(full.hmean), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(lean.hcov), np.asarray(full.hcov),
+                               rtol=1e-6)
