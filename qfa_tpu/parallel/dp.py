@@ -105,17 +105,34 @@ def shard_epoch_indices(
     )
 
 
-def make_dp_epoch_fn(config: TrainConfig, mesh: Mesh) -> Callable:
+def make_dp_epoch_fn(
+    config: TrainConfig,
+    mesh: Mesh,
+    *,
+    engine: str = "xla",
+    tile_batch: int | None = None,
+    interpret: bool = False,
+) -> Callable:
     """Build the jitted SPMD one-epoch function.
 
     Signature: ``(state, data, idx) -> (state, mean_loss)`` with ``data``
     sharded by :func:`shard_dataset` and ``idx`` by
-    :func:`shard_epoch_indices`. The state stays replicated; XLA keeps all
-    communication to one gradient/count psum per batch.
+    :func:`shard_epoch_indices`. The state stays replicated; all
+    communication is one gradient/count psum per batch.
+
+    ``engine="pallas"`` computes each device's local loss/gradient sums
+    with the fused per-step Pallas kernel (``ops.fused_step``) instead of
+    the XLA autodiff path — same psum'd statistics, ~2x fewer kernel
+    launches per step on launch-bound devices. ``tile_batch`` must divide
+    the per-device batch (defaults to it).
     """
+    if engine not in ("xla", "pallas"):
+        raise ValueError(f"unknown dp engine {engine!r}")
     adam_cfg = config.adam_config()
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
+    local_bs = config.batch_size // max(ndev, 1)
+    tb = tile_batch or min(local_bs, 256)
 
     def local_epoch(
         state: TrainState, data: ResidualDataset, ei: EpochIndices
@@ -134,9 +151,23 @@ def make_dp_epoch_fn(config: TrainConfig, mesh: Mesh) -> Callable:
                 mask=data.mask[b_idx] * b_wt[:, None],
                 weight=b_wt.astype(data.delta.dtype),
             )
-            total, n_real, grads, counts = summed_stats(
-                carry.params, batch, config.options
-            )
+            if engine == "pallas":
+                from ..ops.fused_step import fused_loss_grads
+
+                out = fused_loss_grads(
+                    carry.params,
+                    batch,
+                    tau_which=config.options.tau_which,
+                    tile_batch=tb,
+                    interpret=interpret,
+                )
+                total = out.loss_sum
+                n_real = jnp.sum(batch.weight.astype(total.dtype))
+                grads, counts = out.grads, out.counts
+            else:
+                total, n_real, grads, counts = summed_stats(
+                    carry.params, batch, config.options
+                )
             # The one collective of the step: global sums over the data axis.
             total, n_real, grads, counts = jax.lax.psum(
                 (total, n_real, grads, counts), axis

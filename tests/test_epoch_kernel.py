@@ -226,3 +226,34 @@ def test_epoch_kernel_derived_mask_matches(problem):
     for a, b in zip(jax.tree.leaves(out_d.params), jax.tree.leaves(out_m.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6,
                                    atol=1e-8)
+
+
+def test_epoch_kernel_nh8(problem):
+    """Production latent width (nh=8) matches the XLA epoch too (the other
+    tests use nh=4; the unrolled factorization is width-dependent)."""
+    grid = qfa_tpu.make_grid(1030.0, 1090.0, 1e-3)
+    nh = 8
+    true = random_init(jax.random.key(0), grid.npix, grid.nb, nh)
+    mu = jnp.full((grid.npix,), 1.1, jnp.float32)
+    syn = generate(jax.random.key(1), true, mu, grid, 32, mask_frac=0.15)
+    b = syn.to_batch(mu)
+    data = ResidualDataset(delta=b.delta, error=b.error, zabs=b.zabs,
+                           mask=b.mask)
+    cfg = TrainConfig(batch_size=16, learning_rate=1e-2, weight_decay=0.01,
+                      reject_nonfinite=False)
+    p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+    st = TrainState(p0, adam.init(p0))
+    perm = jax.random.permutation(jax.random.key(3), 4)
+    out = fused_train_epoch(
+        st.params, st.opt_state.m, st.opt_state.v,
+        data.delta, data.error, data.zabs, perm, data.mask,
+        epoch=jnp.asarray(0, jnp.int32), n_batches=2, tile_batch=8,
+        learning_rate=1e-2, weight_decay=0.01, interpret=True,
+    )
+    rows = jnp.arange(32).reshape(4, 8)[perm].reshape(2, 16)
+    st2, _ = make_epoch_fn(cfg)(TrainState(p0, adam.init(p0)), data, rows)
+    np.testing.assert_allclose(np.asarray(out.params.F),
+                               np.asarray(st2.params.F), rtol=3e-4,
+                               atol=3e-6)
+    np.testing.assert_allclose(float(out.params.tau0),
+                               float(st2.params.tau0), rtol=1e-4)

@@ -180,3 +180,27 @@ def test_initialize_distributed_error_handling(monkeypatch):
     monkeypatch.setattr(_jax.distributed, "initialize", fake_bad)
     with pytest.raises(RuntimeError, match="coordinator failed"):
         initialize_distributed(coordinator_address="h:1")
+
+
+def test_dp_pallas_engine_matches_xla_engine(problem):
+    """DP with per-step Pallas local statistics == DP with XLA autodiff
+    statistics (same psum'd update), on the 8-device mesh."""
+    grid, data = problem
+    mesh = make_mesh(NDEV)
+    cfg = TrainConfig(batch_size=32, learning_rate=1e-2, weight_decay=0.01)
+    idx = shard_epoch_indices(jax.random.key(5), data.size, cfg.batch_size,
+                              mesh)
+    sharded = shard_dataset(data, mesh)
+
+    st_x, loss_x = make_dp_epoch_fn(cfg, mesh)(
+        fresh_state(grid), sharded, idx
+    )
+    sharded2 = shard_dataset(data, mesh)
+    st_p, loss_p = make_dp_epoch_fn(cfg, mesh, engine="pallas",
+                                    interpret=True)(
+        fresh_state(grid), sharded2, idx
+    )
+    assert float(loss_p) == pytest.approx(float(loss_x), rel=1e-5)
+    for a, b in zip(jax.tree.leaves(st_p.params), jax.tree.leaves(st_x.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=1e-5)
