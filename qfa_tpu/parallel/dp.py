@@ -122,9 +122,12 @@ def make_dp_epoch_fn(
 
     ``engine="pallas"`` computes each device's local loss/gradient sums
     with the fused per-step Pallas kernel (``ops.fused_step``) instead of
-    the XLA autodiff path — same psum'd statistics, ~2x fewer kernel
-    launches per step on launch-bound devices. ``tile_batch`` must divide
-    the per-device batch (defaults to it).
+    the XLA autodiff path — same psum'd statistics, fewer kernel launches
+    per step. Exact-equality-tested against the XLA engine on the virtual
+    mesh and compile-verified on hardware; multi-chip throughput is
+    unvalidated in this environment (single tunneled chip), so the XLA
+    engine remains the default. ``tile_batch`` must divide the per-device
+    batch.
     """
     if engine not in ("xla", "pallas"):
         raise ValueError(f"unknown dp engine {engine!r}")
