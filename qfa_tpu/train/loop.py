@@ -360,20 +360,30 @@ def _make_batch_step(config: TrainConfig, adam_cfg):
     return step
 
 
-@partial(jax.jit, donate_argnums=(0,))
-def reshuffle_dataset(data: ResidualDataset, key: jax.Array) -> ResidualDataset:
-    """Physically permute the resident dataset (donating the old buffers).
-
-    Used by the sliced epoch mode: shuffle the data occasionally, serve
-    batches as contiguous slices in between. Measured trade-off on v5e
-    (B=4096, N=65k): slicing saves ~0.8 ms/step over gathering while a full
-    reshuffle costs several epochs' worth of time — so the gathered epoch
-    (exact reference shuffling semantics) remains the default and sliced
-    mode is for very large resident datasets where gather bandwidth
-    dominates harder.
-    """
+def _reshuffle_impl(data: ResidualDataset, key: jax.Array) -> ResidualDataset:
     perm = jax.random.permutation(key, data.delta.shape[0])
     return jax.tree.map(lambda x: jnp.take(x, perm, axis=0), data)
+
+
+_reshuffle_donating = partial(jax.jit, donate_argnums=(0,))(_reshuffle_impl)
+_reshuffle_copying = jax.jit(_reshuffle_impl)
+
+
+def reshuffle_dataset(
+    data: ResidualDataset, key: jax.Array, *, donate: bool = True
+) -> ResidualDataset:
+    """Physically permute the resident dataset.
+
+    ``donate=True`` (default) consumes the old buffers — never reuse
+    arrays passed in; pass ``donate=False`` to keep the caller's buffers
+    valid (one extra copy). Used by the sliced epoch mode and
+    ``fit_pallas(reshuffle_interval=...)``: shuffle the data occasionally,
+    serve batches as contiguous slices/tiles in between. Measured
+    trade-off on v5e (B=4096, N=65k): slicing saves ~0.8 ms/step over
+    gathering while a full reshuffle costs several epochs' worth of time.
+    """
+    fn = _reshuffle_donating if donate else _reshuffle_copying
+    return fn(data, key)
 
 
 def make_sliced_epoch_fn(

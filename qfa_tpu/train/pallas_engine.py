@@ -210,10 +210,15 @@ def fit_pallas(
                 mu,
             )
 
+    owns_buffers = False  # after the first (copying) reshuffle we may donate
     for epoch in range(start_epoch, config.n_epochs):
         sub = jax.random.fold_in(key, epoch)
         if reshuffle_interval and epoch and epoch % reshuffle_interval == 0:
-            data = reshuffle_dataset(data, jax.random.fold_in(sub, 1))
+            # never donate the CALLER's buffers (first reshuffle copies)
+            data = reshuffle_dataset(
+                data, jax.random.fold_in(sub, 1), donate=owns_buffers
+            )
+            owns_buffers = True
         t0 = time.perf_counter()
         state, loss = pallas_train_epoch(
             state, data, sub, config, tile_batch=tile_batch,

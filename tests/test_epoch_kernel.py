@@ -257,3 +257,23 @@ def test_epoch_kernel_nh8(problem):
                                atol=3e-6)
     np.testing.assert_allclose(float(out.params.tau0),
                                float(st2.params.tau0), rtol=1e-4)
+
+
+def test_fit_pallas_reshuffle_keeps_caller_buffers(problem, tmp_path):
+    """reshuffle_interval must not donate the CALLER's dataset buffers
+    (regression: the first reshuffle used to consume them)."""
+    grid, nh, data = problem
+    mu = jnp.full((grid.npix,), 1.1, jnp.float32)
+    cfg = TrainConfig(n_epochs=3, batch_size=32, learning_rate=1e-2,
+                      weight_decay=0.0, smooth_interval=100,
+                      save_interval=100)
+    p0 = random_init(jax.random.key(5), grid.npix, grid.nb, nh)
+    fit_kwargs = dict(key=jax.random.key(6), tile_batch=8,
+                      reshuffle_interval=1, interpret=True)
+    from qfa_tpu.train import fit_pallas
+
+    params, history = fit_pallas(p0, data, mu, cfg, **fit_kwargs)
+    # the caller's arrays are still alive and usable
+    assert np.isfinite(np.asarray(data.delta)).all()
+    assert np.isfinite(np.asarray(data.zabs)).all()
+    assert np.isfinite(history).all()
