@@ -1,6 +1,6 @@
 """Custom TPU ops: fused Pallas training step + whole-epoch trainer kernel."""
 
-from .epoch_kernel import EpochOutputs, fused_train_epoch
+from .epoch_kernel import EpochOutputs, fused_train_epoch, loglam_row, zq_column
 from .infer_kernel import FusedPredictOutputs, fused_predict
 from .fused_step import (
     TAU_LAW_ABC,
@@ -12,6 +12,8 @@ from .fused_step import (
 __all__ = [
     "EpochOutputs",
     "fused_train_epoch",
+    "loglam_row",
+    "zq_column",
     "FusedPredictOutputs",
     "fused_predict",
     "TAU_LAW_ABC",

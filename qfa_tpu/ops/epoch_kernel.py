@@ -68,7 +68,7 @@ Array = jnp.ndarray
 
 LOG_2PI = 1.8378770664093453
 
-__all__ = ["EpochOutputs", "fused_train_epoch"]
+__all__ = ["EpochOutputs", "fused_train_epoch", "zq_column", "loglam_row"]
 
 
 class EpochOutputs(NamedTuple):
@@ -180,12 +180,16 @@ def _epoch_kernel(
     tpb: int,
     n_batches: int,
     derive_mask: bool,
+    derive_zabs: bool,
 ):
     mask_ref = None
     if not derive_mask:
         mask_ref, *rest = rest
+    ft0_ref, mft0_ref, vft0_ref, rows0_ref, blue_ref, *rest = rest
+    loglam_ref = None
+    if derive_zabs:
+        loglam_ref, *rest = rest
     (
-        ft0_ref, mft0_ref, vft0_ref, rows0_ref, blue_ref,
         loss_ref, ft_out_ref, mft_out_ref, vft_out_ref, rows_out_ref,
         scal_out_ref,
         rhst_scr, drhst_scr, mft_scr, vft_scr, rows_scr, grows_scr,
@@ -234,7 +238,6 @@ def _epoch_kernel(
 
     delta = delta_ref[...]
     err = error_ref[...]
-    z = zabs_ref[...]
     if derive_mask:
         # masked pixels are sanitized to error == 0 by the data layer, so
         # the mask can skip HBM entirely (survey-scale memory saver; costs
@@ -246,10 +249,24 @@ def _epoch_kernel(
     omega_row = rows_scr[R_OMEGA : R_OMEGA + 1, :]
     blue = blue_ref[...]
 
-    zp1 = 1.0 + z
-    tau_line = law_a * zp1**law_b + law_c
+    if derive_zabs:
+        # zabs never touches HBM: the (TB, lanes) input carries only
+        # log1p(zqso) in lane 0, and log(1 + zabs) = log1p(zqso) +
+        # log(lam/lam_lya) is an outer ADD against a static row. All the
+        # per-pixel pow/log transcendentals disappear (pow lowers to
+        # exp(b*log x) on the VPU); only the param-dependent exps remain.
+        zq = zabs_ref[:, 0:1]  # (TB, 1) log1p(zqso)
+        logzp1 = (zq + loglam_ref[...]) * blue  # (TB, P); 0 on red/pad
+        tau_line = law_a * jnp.exp(law_b * logzp1) + law_c
+        zp1b = jnp.exp(beta * logzp1)
+        log_zp1 = logzp1
+    else:
+        zp1 = 1.0 + zabs_ref[...]
+        tau_line = law_a * zp1**law_b + law_c
+        zp1b = zp1**beta
+        log_zp1 = jnp.log(zp1)
     amp = jnp.where(blue > 0, jnp.exp(-tau_line), 1.0)
-    tau_hi = tau0 * zp1**beta
+    tau_hi = tau0 * zp1b
     exp_neg = jnp.exp(-tau_hi)
     root = 1.0 - c0 - exp_neg
     zdep = jnp.where(blue > 0, root * root, 0.0)
@@ -345,7 +362,6 @@ def _epoch_kernel(
     dzdep = dd * omega_row
     droot2 = dzdep * 2.0 * root * blue
     dtau_hi = droot2 * exp_neg
-    zp1b = zp1**beta
 
     grows_scr[G_DPSI : G_DPSI + 1, :] += jnp.sum(
         dd * amp * amp, axis=0, keepdims=True
@@ -359,7 +375,7 @@ def _epoch_kernel(
     )
     grows_scr[G_DC0 : G_DC0 + 1, :] += jnp.sum(-droot2, axis=0, keepdims=True)
     grows_scr[G_DBETA : G_DBETA + 1, :] += jnp.sum(
-        dtau_hi * tau0 * zp1b * jnp.log(zp1), axis=0, keepdims=True
+        dtau_hi * tau0 * zp1b * log_zp1, axis=0, keepdims=True
     )
 
     # -- batch end: finish gradients, Adam update, rebuild RHS ---------------
@@ -496,10 +512,35 @@ def _epoch_kernel(
             scal_out_ref[0, k] = 0.0
 
 
+def zq_column(zqso: Array, lanes: int = 128) -> Array:
+    """Pack quasar redshifts into the kernel's ``derive_zabs`` column.
+
+    Returns an ``(N, lanes)`` float32 buffer whose lane 0 holds
+    ``log1p(zqso)`` — everything the epoch kernel needs to rebuild the
+    per-pixel absorber redshifts in-kernel (512 B/spectrum instead of the
+    4*Npix-byte zabs plane: a ~15x cut in that array's HBM footprint and
+    stream traffic at SDSS scale).
+    """
+    col = jnp.zeros((zqso.shape[0], lanes), jnp.float32)
+    return col.at[:, 0].set(jnp.log1p(zqso.astype(jnp.float32)))
+
+
+def loglam_row(wav) -> Array:
+    """Static ``log(lam / lam_lya)`` row for ``derive_zabs`` (float64 host
+    math, cast once; red-side values are present but gated off in-kernel)."""
+    import numpy as np
+
+    from ..data.grid import LYA_WAVELENGTH
+
+    row = np.log(np.asarray(wav, np.float64) / LYA_WAVELENGTH)
+    return jnp.asarray(row, jnp.float32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
         "n_batches", "tile_batch", "tau_which", "reference_norm", "interpret",
+        "derive_zabs",
     ),
 )
 def fused_train_epoch(
@@ -514,6 +555,8 @@ def fused_train_epoch(
     *,
     epoch: Array,
     n_batches: int,
+    loglam: Array | None = None,
+    derive_zabs: bool = False,
     tile_batch: int = 256,
     learning_rate: float = 1e-3,
     weight_decay: float = 0.1,
@@ -539,6 +582,13 @@ def fused_train_epoch(
             sanitizes masked pixels to ``error == 0`` and ``delta == 0``)
             — saves a quarter of the resident footprint at survey scale
             for ~10% step time.
+        loglam, derive_zabs: with ``derive_zabs=True`` the ``zabs``
+            argument is instead the ``(N, lanes)`` :func:`zq_column`
+            buffer (lane 0 = ``log1p(zqso)``) and ``loglam`` the static
+            per-pixel ``log(lam/lam_lya)`` row (:func:`loglam_row`); the
+            kernel rebuilds ``log(1 + zabs)`` as an outer add, eliminating
+            the (N, Npix) zabs plane from HBM and every per-pixel
+            pow/log transcendental.
         tile_perm: (N // tile_batch,) int32 permutation assigning data
             tiles to (batch, slot) positions — the epoch shuffle.
         epoch: int32 scalar — the reference's per-epoch Adam counter ``i``
@@ -573,7 +623,21 @@ def fused_train_epoch(
 
     delta = pad_px(delta, p)
     error = pad_px(error, p)
-    zabs_p = pad_px(zabs, p)
+    if derive_zabs:
+        if loglam is None:
+            raise ValueError("derive_zabs=True requires the loglam row")
+        if zabs.ndim != 2 or zabs.shape[1] % 128:
+            raise ValueError(
+                "derive_zabs=True expects the (N, 128k) zq_column buffer, "
+                f"got {zabs.shape}"
+            )
+        zabs_p = zabs.astype(f32)
+        loglam_p = jnp.zeros((1, p), f32).at[0, :npix].set(
+            loglam.astype(f32)
+        )
+    else:
+        zabs_p = pad_px(zabs, p)
+        loglam_p = None
     mask_p = pad_px(mask, p) if mask is not None else None
 
     ft0 = jnp.pad(params.F.astype(f32), ((0, p - npix), (0, 0))).T
@@ -630,10 +694,14 @@ def fused_train_epoch(
 
     kernel = functools.partial(
         _epoch_kernel, nh=nh, tb=tb, tpb=tpb, n_batches=n_batches,
-        derive_mask=mask is None,
+        derive_mask=mask is None, derive_zabs=derive_zabs,
     )
     tile_spec = pl.BlockSpec(
         (tb, p), lambda i, j, perm: (perm[i * tpb + j], 0),
+        memory_space=pltpu.VMEM,
+    )
+    z_spec = tile_spec if not derive_zabs else pl.BlockSpec(
+        (tb, zabs_p.shape[1]), lambda i, j, perm: (perm[i * tpb + j], 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -652,13 +720,14 @@ def fused_train_epoch(
                          memory_space=pltpu.SMEM),
             tile_spec,  # delta
             tile_spec,  # error
-            tile_spec,  # zabs (full width, zeros on red/pad lanes)
+            z_spec,  # zabs plane, or the zq column when derive_zabs
             *([] if mask_p is None else [tile_spec]),  # mask
             whole((nh, p)),  # ft0
             whole((nh, p)),  # mft0
             whole((nh, p)),  # vft0
             whole((8, p)),  # rows0
             whole((1, p)),  # blue
+            *([] if loglam_p is None else [whole((1, p))]),  # loglam
         ],
         out_specs=[
             # whole-array block: rows written at dynamic offsets per batch
@@ -704,6 +773,7 @@ def fused_train_epoch(
         hyper, scal0, delta, error, zabs_p,
         *([] if mask_p is None else [mask_p]),
         ft0, mft0, vft0, rows0, blue0,
+        *([] if loglam_p is None else [loglam_p]),
     )
 
     def unrow(arr, r, width=None):

@@ -62,6 +62,7 @@ def make_pallas_epoch_fn(
     *,
     tile_batch: int,
     derive_mask: bool = False,
+    loglam=None,
     interpret: bool = False,
 ):
     """Jitted single-dispatch epoch: ``(state, data, key) -> (state, loss)``.
@@ -72,8 +73,17 @@ def make_pallas_epoch_fn(
     on the tunneled device is comparable to the epoch itself. The returned
     loss is a device scalar (no host sync): chained epochs pipeline
     back-to-back.
+
+    Passing ``loglam`` (the static ``log(lam/lam_lya)`` row,
+    :func:`qfa_tpu.ops.loglam_row`) switches the kernel to derive the
+    absorber redshifts in-kernel — ``data.zabs`` must then be the
+    ``(N, 128)`` :func:`qfa_tpu.ops.zq_column` buffer instead of the
+    ``(N, Npix)`` zabs plane (a ~15x footprint/traffic cut for that array).
     """
-    cache_key = (config, tile_batch, derive_mask, interpret)
+    import numpy as np
+
+    loglam_key = None if loglam is None else np.asarray(loglam).tobytes()
+    cache_key = (config, tile_batch, derive_mask, loglam_key, interpret)
     fn = _EPOCH_FN_CACHE.get(cache_key)
     if fn is not None:
         return fn
@@ -95,6 +105,8 @@ def make_pallas_epoch_fn(
             None if derive_mask else data.mask,
             epoch=state.opt_state.epoch,
             n_batches=n // b,
+            loglam=loglam,
+            derive_zabs=loglam is not None,
             tile_batch=tb,
             learning_rate=config.learning_rate,
             weight_decay=config.weight_decay,
@@ -128,6 +140,7 @@ def pallas_train_epoch(
     tile_batch: int | None = None,
     interpret: bool = False,
     derive_mask: bool = False,
+    loglam=None,
 ) -> tuple[TrainState, float]:
     """One full training epoch in a single kernel launch.
 
@@ -135,7 +148,9 @@ def pallas_train_epoch(
     batch size a multiple of the tile (pad the dataset with zero rows —
     they are inert). ``derive_mask=True`` recomputes the mask from
     ``error > 0`` in-kernel instead of streaming it from HBM (survey-scale
-    memory saver). Returns (new state, reference-bookkeeping epoch loss).
+    memory saver); ``loglam`` (see :func:`make_pallas_epoch_fn`) likewise
+    replaces the zabs plane with a per-spectrum redshift column. Returns
+    (new state, reference-bookkeeping epoch loss).
     """
     n = data.size
     b = config.batch_size
@@ -145,7 +160,8 @@ def pallas_train_epoch(
     if b % tb:
         raise ValueError(f"batch {b} not a multiple of tile {tb}")
     epoch_fn = make_pallas_epoch_fn(
-        config, tile_batch=tb, derive_mask=derive_mask, interpret=interpret
+        config, tile_batch=tb, derive_mask=derive_mask, loglam=loglam,
+        interpret=interpret,
     )
     state, loss = epoch_fn(state, data, key)
     return state, float(loss)
@@ -165,6 +181,8 @@ def fit_pallas(
     tile_batch: int | None = None,
     reshuffle_interval: int = 0,
     save_full_state: bool = True,
+    derive_mask: bool = False,
+    loglam=None,
     interpret: bool = False,
 ) -> tuple[QFAParams, list]:
     """Full training run on the single-launch epoch engine.
@@ -222,7 +240,7 @@ def fit_pallas(
         t0 = time.perf_counter()
         state, loss = pallas_train_epoch(
             state, data, sub, config, tile_batch=tile_batch,
-            interpret=interpret,
+            derive_mask=derive_mask, loglam=loglam, interpret=interpret,
         )
         dt = time.perf_counter() - t0
         history.append(loss)

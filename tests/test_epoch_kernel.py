@@ -228,6 +228,74 @@ def test_epoch_kernel_derived_mask_matches(problem):
                                    atol=1e-8)
 
 
+def test_epoch_kernel_derive_zabs_matches():
+    """derive_zabs (in-kernel log(1+zabs) from the zq column) equals the
+    explicit zabs-plane run to float32 rounding."""
+    from qfa_tpu.ops import loglam_row, zq_column
+
+    grid = qfa_tpu.make_grid(1030.0, 1090.0, 1e-3)
+    nh = 4
+    true = random_init(jax.random.key(0), grid.npix, grid.nb, nh)
+    mu = jnp.full((grid.npix,), 1.1, jnp.float32)
+    syn = generate(jax.random.key(1), true, mu, grid, 64, mask_frac=0.15)
+    b = syn.to_batch(mu)
+    perm = jax.random.permutation(jax.random.key(3), 8)
+    p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+    st = TrainState(p0, adam.init(p0))
+    kw = dict(epoch=jnp.asarray(0, jnp.int32), n_batches=2, tile_batch=8,
+              learning_rate=1e-2, weight_decay=0.01, interpret=True)
+    out_plane = fused_train_epoch(
+        st.params, st.opt_state.m, st.opt_state.v,
+        b.delta, b.error, b.zabs, perm, b.mask, **kw,
+    )
+    out_col = fused_train_epoch(
+        st.params, st.opt_state.m, st.opt_state.v,
+        b.delta, b.error, zq_column(syn.zqso), perm, b.mask,
+        loglam=loglam_row(grid.wav), derive_zabs=True, **kw,
+    )
+    np.testing.assert_allclose(np.asarray(out_col.loss_sums),
+                               np.asarray(out_plane.loss_sums), rtol=1e-5)
+    for name in ("F", "Psi", "omega", "tau0", "c0", "beta"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_col.params, name)),
+            np.asarray(getattr(out_plane.params, name)),
+            rtol=5e-4, atol=1e-5, err_msg=name,
+        )
+
+
+def test_fit_pallas_derive_zabs_and_mask(problem, tmp_path):
+    """fit_pallas runs end-to-end in the survey-scale memory mode (zq
+    column + in-kernel mask), matching the plane-mode trajectory."""
+    from qfa_tpu.ops import loglam_row, zq_column
+    from qfa_tpu.train import fit_pallas
+
+    grid = qfa_tpu.make_grid(1030.0, 1090.0, 1e-3)
+    nh = 4
+    true = random_init(jax.random.key(0), grid.npix, grid.nb, nh)
+    mu = jnp.full((grid.npix,), 1.1, jnp.float32)
+    syn = generate(jax.random.key(1), true, mu, grid, 64, mask_frac=0.15)
+    b = syn.to_batch(mu)
+    cfg = TrainConfig(n_epochs=2, batch_size=32, learning_rate=1e-2,
+                      weight_decay=0.0, smooth_interval=100,
+                      save_interval=100)
+    p0 = random_init(jax.random.key(5), grid.npix, grid.nb, nh)
+    data_plane = ResidualDataset(delta=b.delta, error=b.error, zabs=b.zabs,
+                                 mask=b.mask)
+    params_a, hist_a = fit_pallas(
+        p0, data_plane, mu, cfg, key=jax.random.key(6), tile_batch=8,
+        interpret=True,
+    )
+    data_col = ResidualDataset(delta=b.delta, error=b.error,
+                               zabs=zq_column(syn.zqso), mask=b.mask)
+    params_b, hist_b = fit_pallas(
+        p0, data_col, mu, cfg, key=jax.random.key(6), tile_batch=8,
+        derive_mask=True, loglam=loglam_row(grid.wav), interpret=True,
+    )
+    np.testing.assert_allclose(hist_b, hist_a, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(params_b.F),
+                               np.asarray(params_a.F), rtol=5e-4, atol=1e-5)
+
+
 def test_epoch_kernel_nh8(problem):
     """Production latent width (nh=8) matches the XLA epoch too (the other
     tests use nh=4; the unrolled factorization is width-dependent)."""
