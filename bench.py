@@ -11,9 +11,9 @@ Headline: the whole-epoch fused Pallas trainer (ONE kernel launch per
 epoch — ``qfa_tpu.ops.epoch_kernel``) on the full SDSS-scale problem
 (Npix=1913, Nb=720, Nh=8) with synthetic data from the generative model.
 Extras: the XLA scan-epoch trainer, batched inference, DESI scale
-(Npix=9243), the 500k-spectrum north-star demo (BASELINE.md: 500k in
-<10 min), and a measured roofline/MFU accounting (in-bench calibration of
-peak MXU TF/s and HBM read bandwidth on this very chip).
+(Npix=9243), a 768k-spectrum resident north-star demo (BASELINE.md: 500k
+in <10 min), and a measured roofline/MFU accounting (in-bench calibration
+of peak MXU TF/s and HBM read bandwidth on this very chip).
 
 Measurement discipline for the tunneled device (see CLAUDE.md): repeated
 identical dispatches are memoized upstream, so every trial varies its
@@ -50,9 +50,13 @@ def kernel_flops_per_spectrum(p: int, rc: int, nh: int) -> float:
 
 
 def make_problem(grid, nh, n, seed=0):
+    """Synthetic residual dataset in the PRODUCTION resident layout:
+    (delta, error, zq column) — mask derived in-kernel from error > 0,
+    absorber redshifts rebuilt in-kernel from log1p(zqso)."""
     from qfa_tpu.data.loader import ResidualDataset
     from qfa_tpu.data.synthetic import generate
     from qfa_tpu.models import random_init
+    from qfa_tpu.ops import zq_column
 
     params = random_init(jax.random.key(seed), grid.npix, grid.nb, nh)
     mu = jnp.ones((grid.npix,), jnp.float32)
@@ -61,20 +65,24 @@ def make_problem(grid, nh, n, seed=0):
     )(jax.random.key(seed + 1))
     full = jax.jit(lambda s: s.to_batch(mu))(syn)
     data = ResidualDataset(
+        delta=full.delta, error=full.error, zabs=zq_column(syn.zqso),
+        mask=None,
+    )
+    plane = ResidualDataset(
         delta=full.delta, error=full.error, zabs=full.zabs, mask=full.mask
     )
     jax.block_until_ready(data.delta)
-    return params, mu, syn, data
+    return params, mu, syn, data, plane
 
 
 def bench_pallas_epochs(params, data, batch_size, tile_batch, trials,
-                        derive_mask=False):
+                        loglam=None):
     """Chained single-dispatch epochs; one sync closes the window."""
     from qfa_tpu.train import TrainConfig, TrainState, adam, make_pallas_epoch_fn
 
     cfg = TrainConfig(batch_size=batch_size)
     fn = make_pallas_epoch_fn(cfg, tile_batch=tile_batch,
-                              derive_mask=derive_mask)
+                              derive_mask=data.mask is None, loglam=loglam)
     state = TrainState(params, adam.init(params))
     state, loss = fn(state, data, jax.random.key(100))  # compile + warmup
     _ = float(loss)
@@ -133,49 +141,48 @@ def calibrate_peaks():
     return peak_tflops, peak_read_gbps
 
 
-def build_500k(grid, n, nh, seed=5):
-    """Survey-scale resident residual buffers, built chunk-by-chunk with
-    donation (peak memory = final footprint + one chunk). Arrays are
-    pre-padded to the kernel's lane width so no copies happen inside the
-    epoch jit; the mask is derived in-kernel (error > 0)."""
-    from qfa_tpu.data.grid import LYA_WAVELENGTH
+def build_survey(grid, n, nh, seed=5):
+    """Survey-scale resident residual buffers in the production layout
+    (delta, error, zq column — ~15.4 KB/spectrum at SDSS scale), built
+    chunk-by-chunk with donation (peak memory = final footprint + one
+    chunk). Arrays are pre-padded to the kernel's lane width so no copies
+    happen inside the epoch jit; mask and absorber redshifts are derived
+    in-kernel."""
     from qfa_tpu.data.loader import ResidualDataset
     from qfa_tpu.ops.fused_step import _round_up
 
     p = _round_up(grid.npix, 128)
     chunk = 32768
     assert n % chunk == 0
-    blue = jnp.asarray(grid.blue, jnp.float32)
 
     @jax.jit
     def make_chunk(key):
         kz, kd, ke = jax.random.split(key, 3)
         z = jax.random.uniform(kz, (chunk,), jnp.float32, 2.0, 3.5)
-        zab = (1.0 + z)[:, None] * blue / LYA_WAVELENGTH - 1.0
-        zab = jnp.pad(zab, ((0, 0), (0, p - grid.nb)))
+        zq = jnp.zeros((chunk, 128), jnp.float32).at[:, 0].set(jnp.log1p(z))
         delta = 0.4 * jax.random.normal(kd, (chunk, p), jnp.float32)
         error = jax.random.uniform(ke, (chunk, p), jnp.float32, 0.05, 0.3)
         live = (jnp.arange(p) < grid.npix).astype(jnp.float32)
-        return delta * live, error * live, zab
+        return delta * live, error * live, zq
 
     @jax.jit
     def alloc():
         return (jnp.zeros((n, p), jnp.float32),
                 jnp.zeros((n, p), jnp.float32),
-                jnp.zeros((n, p), jnp.float32))
+                jnp.zeros((n, 128), jnp.float32))
 
     write = jax.jit(
         lambda buf, c, i: jax.lax.dynamic_update_slice(buf, c, (i, 0)),
         donate_argnums=(0,),
     )
-    delta, error, zabs = alloc()
+    delta, error, zq = alloc()
     for i in range(n // chunk):
         cd, ce, cz = make_chunk(jax.random.fold_in(jax.random.key(seed), i))
         delta = write(delta, cd, i * chunk)
         error = write(error, ce, i * chunk)
-        zabs = write(zabs, cz, i * chunk)
+        zq = write(zq, cz, i * chunk)
     jax.block_until_ready(error)
-    return ResidualDataset(delta=delta, error=error, zabs=zabs, mask=None)
+    return ResidualDataset(delta=delta, error=error, zabs=zq, mask=None)
 
 
 def main() -> None:
@@ -185,17 +192,20 @@ def main() -> None:
     from qfa_tpu.train import TrainConfig, TrainState, adam
     from qfa_tpu.train.loop import make_epoch_fn
 
+    from qfa_tpu.ops import loglam_row
+
     grid = qfa_tpu.make_grid()
     nh = 8
     n_spectra, batch_size, tile = 65536, 4096, 256
 
     stage("sdss data")
-    params, mu, syn, data = make_problem(grid, nh, n_spectra)
+    params, mu, syn, data, plane = make_problem(grid, nh, n_spectra)
 
-    # ---- headline: whole-epoch Pallas trainer ----------------------------
+    # ---- headline: whole-epoch Pallas trainer (production layout) --------
     stage("pallas epoch trainer")
     train_dt, final_loss, _ = bench_pallas_epochs(
-        params, data, batch_size, tile, trials=12
+        params, data, batch_size, tile, trials=12,
+        loglam=loglam_row(grid.wav),
     )
     train_rate = n_spectra / train_dt
 
@@ -206,13 +216,13 @@ def main() -> None:
     state = TrainState(random_init(jax.random.key(0), grid.npix, grid.nb, nh),
                        adam.init(params))
     idx = batch_indices(jax.random.key(2), n_spectra, batch_size)
-    state, _ = epoch_fn(state, data, idx)
+    state, _ = epoch_fn(state, plane, idx)
     jax.block_until_ready(state.params.F)
     xla_times = []
     for trial in range(3):
         idx = batch_indices(jax.random.key(3 + trial), n_spectra, batch_size)
         t0 = time.perf_counter()
-        state, xla_loss = epoch_fn(state, data, idx)
+        state, xla_loss = epoch_fn(state, plane, idx)
         jax.block_until_ready(state.params.F)
         xla_times.append(time.perf_counter() - t0)
     xla_rate = n_spectra / min(xla_times)
@@ -246,28 +256,35 @@ def main() -> None:
     desi_grid = qfa_tpu.make_grid(1113.5772, 1600.0, 1.7029661e-05)
     assert desi_grid.npix == 9243
     desi_n, desi_b = 16384, 1024
-    desi_params, _, _, desi_data = make_problem(desi_grid, nh, desi_n, seed=5)
+    desi_params, _, _, desi_data, _ = make_problem(
+        desi_grid, nh, desi_n, seed=5
+    )
     desi_dt, desi_loss, _ = bench_pallas_epochs(
-        desi_params, desi_data, desi_b, 64, trials=8
+        desi_params, desi_data, desi_b, 64, trials=8,
+        loglam=loglam_row(desi_grid.wav),
     )
     desi_rate = desi_n / desi_dt
 
-    # free the DESI + SDSS synthetic buffers before the 500k allocation
-    del desi_data, desi_params, syn, res, data, state, flux_s, err_s
+    # free the DESI + SDSS synthetic buffers before the survey allocation
+    del desi_data, desi_params, syn, res, data, plane, state, flux_s, err_s
     import gc
 
     gc.collect()
 
-    # ---- north star: 500k spectra resident on ONE chip --------------------
-    stage("500k north star")
-    n_500k = 524288  # 128 batches of 4096 (>= 500k), 16 build chunks
-    big = build_500k(grid, n_500k, nh)
+    # ---- north star: 768k spectra resident on ONE chip --------------------
+    # (the production layout needs only ~15.4 KB/spectrum: delta + error +
+    # the 512 B zq column; mask and zabs are derived in-kernel)
+    stage("768k north star")
+    n_survey = 786432  # 192 batches of 4096, 24 build chunks, ~12.1 GB
+    big = build_survey(grid, n_survey, nh)
     big_params = random_init(jax.random.key(11), grid.npix, grid.nb, nh)
     big_dt, big_loss, _ = bench_pallas_epochs(
-        big_params, big, batch_size, tile, trials=4, derive_mask=True
+        big_params, big, batch_size, tile, trials=4,
+        loglam=loglam_row(grid.wav),
     )
-    big_rate = n_500k / big_dt
-    minutes_500 = 500 * big_dt / 60.0
+    big_rate = n_survey / big_dt
+    # the BASELINE.md north star: 500 epochs x >=500k spectra, in minutes
+    minutes_500 = 500 * (524288 / big_rate) / 60.0
     del big
     gc.collect()
 
@@ -281,7 +298,8 @@ def main() -> None:
     fps = kernel_flops_per_spectrum(p, rc, nh)
     tflops = train_rate * fps / 1e12
     mfu_pct = 100.0 * tflops / max(peak_tflops, 1e-9)
-    bytes_per_spectrum = 4 * p * 4  # delta, error, zabs, mask (f32)
+    # production layout: delta + error planes + the 512 B zq column
+    bytes_per_spectrum = 2 * p * 4 + 512
     hbm_gbps = train_rate * bytes_per_spectrum / 1e9
     hbm_pct = 100.0 * hbm_gbps / max(peak_read_gbps, 1e-9)
 
@@ -292,7 +310,9 @@ def main() -> None:
         "vs_baseline": round(train_rate / TRAIN_BASELINE, 1),
         "extras": {
             "platform": str(jax.devices()[0]),
-            "engine": "fused whole-epoch Pallas kernel (1 launch/epoch)",
+            "engine": "fused whole-epoch Pallas kernel (1 launch/epoch; "
+                      "in-kernel mask + absorber redshifts from a 512 B "
+                      "zq column)",
             "npix": grid.npix,
             "nh": nh,
             "batch_size": batch_size,
@@ -308,17 +328,20 @@ def main() -> None:
             "desi_gpixels_per_sec": round(desi_rate * desi_grid.npix / 1e9, 2),
             "sdss_gpixels_per_sec": round(train_rate * grid.npix / 1e9, 2),
             "desi_final_loss": desi_loss,
-            "train_500k_spectra": n_500k,
-            "train_500k_spectra_per_sec": round(big_rate, 1),
+            "survey_resident_spectra": n_survey,
+            "survey_train_spectra_per_sec": round(big_rate, 1),
+            "survey_resident_gb": round(n_survey * (2 * p * 4 + 512) / 2**30,
+                                        1),
             "projected_500k_500epoch_minutes": round(minutes_500, 2),
             "north_star_under_10min": minutes_500 < 10.0,
-            "streaming_note": "the full 500k corpus fits RESIDENT on one "
-                              "chip (in-kernel mask, ~23 KB/spectrum), so "
-                              "the streaming trainer (fit_streaming, "
-                              "tested) is not needed at the north-star "
-                              "scale; host->device over this tunneled dev "
-                              "setup is 0.04 GB/s and would measure the "
-                              "tunnel, not the framework",
+            "streaming_note": "768k spectra fit RESIDENT on one chip "
+                              "(in-kernel mask + zq-column redshifts, "
+                              "~15.4 KB/spectrum), so the streaming "
+                              "trainer (fit_streaming, tested) is not "
+                              "needed at the north-star scale; "
+                              "host->device over this tunneled dev setup "
+                              "is 0.04 GB/s and would measure the tunnel, "
+                              "not the framework",
             "roofline": {
                 "mxu_flops_per_spectrum": round(fps),
                 "achieved_tflops": round(tflops, 2),

@@ -1,4 +1,11 @@
-"""Long-horizon health check: 500 epochs of fit_pallas on the real TPU."""
+"""Long-horizon health check: 500 epochs of ``fit_pallas`` on the real TPU.
+
+Trains the single-launch epoch engine for the reference's full default
+epoch budget (``/root/reference/QFA/config.py:30-62``: 500 epochs) on 65k
+synthetic SDSS-scale spectra, asserting every epoch loss and every final
+parameter stays finite, then measures how much of the init->true NLL gap
+the fit closes. Run from the repo root: ``python examples/train_500epoch_health.py``.
+"""
 import time
 import jax, jax.numpy as jnp
 import numpy as np

@@ -230,10 +230,28 @@ def run_train(cfg: ConfigNode) -> None:
             initial_state=initial_state,
         )
         if use_pallas:
+            from .ops import loglam_row, zq_column
             from .train import fit_pallas
 
+            # production resident layout: when every masked pixel carries
+            # error == 0 (the loader sanitizes reads that way), the kernel
+            # derives the mask (error > 0) and the absorber redshifts
+            # (512 B zq column) in-kernel — ~half the resident footprint
+            # and stream traffic of the 4-plane layout.
+            pallas_kwargs = {}
+            if bool(np.all((dataset.error > 0.0) == dataset.mask)):
+                residuals = residuals._replace(
+                    zabs=zq_column(jnp.asarray(dataset.zqso)), mask=None
+                )
+                pallas_kwargs = dict(
+                    derive_mask=True, loglam=loglam_row(grid.wav)
+                )
+                logger.info(
+                    "resident layout: in-kernel mask + zq-column redshifts"
+                )
             params, history = fit_pallas(
-                params, residuals, mu, train_cfg, **fit_kwargs
+                params, residuals, mu, train_cfg, **pallas_kwargs,
+                **fit_kwargs,
             )
         else:
             params, history = fit(

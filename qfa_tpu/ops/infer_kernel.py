@@ -69,6 +69,7 @@ def _predict_kernel(
     nh: int,
     tb: int,
     derive_mask: bool,
+    derive_zabs: bool,
     stats_only: bool,
 ):
     mask_ref = None
@@ -92,17 +93,26 @@ def _predict_kernel(
 
     flux = flux_ref[...]
     err = error_ref[...]
-    z = zabs_ref[...]
     m = (err > 0.0).astype(f32) if derive_mask else mask_ref[...]
     mu = mu_ref[...]  # (1, P)
     psi = rows_ref[0:1, :]
     omega_row = rows_ref[1:2, :]
     blue = rows_ref[2:3, :]
 
-    zp1 = 1.0 + z
-    tau_line = law_a * zp1**law_b + law_c
+    if derive_zabs:
+        # zabs_ref carries only the (TB, lanes) zq column (lane 0 =
+        # log1p(zqso)); rows_ref row 3 is the static log(lam/lam_lya)
+        # row — log(1+zabs) is an outer add, no per-pixel pow/log
+        zq = zabs_ref[:, 0:1]  # (TB, 1)
+        logzp1 = (zq + rows_ref[3:4, :]) * blue  # (TB, P)
+        tau_line = law_a * jnp.exp(law_b * logzp1) + law_c
+        zp1b = jnp.exp(beta * logzp1)
+    else:
+        zp1 = 1.0 + zabs_ref[...]
+        tau_line = law_a * zp1**law_b + law_c
+        zp1b = zp1**beta
     amp = jnp.where(blue > 0, jnp.exp(-tau_line), 1.0)
-    tau_hi = tau0 * zp1**beta
+    tau_hi = tau0 * zp1b
     root = 1.0 - c0 - jnp.exp(-tau_hi)
     zdep = jnp.where(blue > 0, root * root, 0.0)
     delta = (flux - mu * amp) * m
@@ -179,7 +189,9 @@ def _predict_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tau_which", "tile_batch", "interpret", "stats_only"),
+    static_argnames=(
+        "tau_which", "tile_batch", "interpret", "stats_only", "derive_zabs",
+    ),
 )
 def fused_predict(
     params: QFAParams,
@@ -193,6 +205,8 @@ def fused_predict(
     tile_batch: int = 256,
     interpret: bool = False,
     stats_only: bool = False,
+    loglam: Array | None = None,
+    derive_zabs: bool = False,
 ) -> FusedPredictOutputs:
     """Predict continua/posteriors/OOD scores for a resident dataset in one
     kernel launch.
@@ -200,6 +214,10 @@ def fused_predict(
     ``N`` must be a multiple of ``tile_batch`` (pad with zero rows — they
     come back as inert all-masked outputs). ``mask=None`` derives the mask
     from ``error > 0`` (the data layer sanitizes masked pixels to 0).
+    ``derive_zabs=True`` takes the ``(N, 128)`` :func:`~qfa_tpu.ops.zq_column`
+    buffer in place of the ``(N, Npix)`` zabs plane (plus ``loglam`` =
+    :func:`~qfa_tpu.ops.loglam_row`), rebuilding absorber redshifts
+    in-kernel.
 
     ``stats_only=True`` skips the two (N, Npix) continuum/uncertainty
     planes and returns only the per-spectrum stats (ll, posterior,
@@ -228,7 +246,17 @@ def fused_predict(
 
     flux_p = pad_px(flux)
     error_p = pad_px(error)
-    zabs_p = pad_px(zabs)
+    if derive_zabs:
+        if loglam is None:
+            raise ValueError("derive_zabs=True requires the loglam row")
+        if zabs.ndim != 2 or zabs.shape[1] % 128:
+            raise ValueError(
+                "derive_zabs=True expects the (N, 128k) zq_column buffer, "
+                f"got {zabs.shape}"
+            )
+        zabs_p = zabs.astype(f32)
+    else:
+        zabs_p = pad_px(zabs)
     mask_p = pad_px(mask) if mask is not None else None
 
     def row(x, width=None):
@@ -239,7 +267,7 @@ def fused_predict(
         row(params.Psi),
         row(params.omega, nb),
         row(jnp.ones((nb,), f32), nb),
-        jnp.zeros((p,), f32),
+        jnp.zeros((p,), f32) if not derive_zabs else row(loglam),
     ])
     mu_row = row(mu)[None, :]
     # [gram | F | ones] rows, built once outside the kernel (read-only here)
@@ -260,9 +288,12 @@ def fused_predict(
 
     kernel = functools.partial(
         _predict_kernel, nh=nh, tb=tb, derive_mask=mask is None,
-        stats_only=stats_only,
+        derive_zabs=derive_zabs, stats_only=stats_only,
     )
     tile = pl.BlockSpec((tb, p), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    z_tile = tile if not derive_zabs else pl.BlockSpec(
+        (tb, zabs_p.shape[1]), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
     whole = lambda shape: pl.BlockSpec(
         shape, lambda i: tuple(0 for _ in shape), memory_space=pltpu.VMEM
     )
@@ -273,7 +304,7 @@ def fused_predict(
             pl.BlockSpec((1, 8), lambda i: (0, 0), memory_space=pltpu.SMEM),
             tile,  # flux
             tile,  # error
-            tile,  # zabs
+            z_tile,  # zabs plane, or the zq column when derive_zabs
             *([] if mask_p is None else [tile]),
             whole((1, p)),  # mu
             whole((4, p)),  # psi/omega/blue rows

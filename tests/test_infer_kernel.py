@@ -63,6 +63,28 @@ def test_fused_predict_derived_mask(problem):
                                np.asarray(out_m.continuum), rtol=1e-6)
 
 
+def test_fused_predict_derive_zabs(problem):
+    """The zq-column mode (in-kernel absorber redshifts) matches the
+    zabs-plane run to float32 rounding."""
+    from qfa_tpu.ops import loglam_row, zq_column
+
+    grid, params, mu, syn = problem
+    flux = syn.flux * syn.mask
+    error = syn.error * syn.mask
+    out_p = fused_predict(params, mu, flux, error, syn.zabs, syn.mask,
+                          tile_batch=8, interpret=True)
+    out_c = fused_predict(params, mu, flux, error, zq_column(syn.zqso),
+                          syn.mask, tile_batch=8, interpret=True,
+                          loglam=loglam_row(grid.wav), derive_zabs=True)
+    np.testing.assert_allclose(np.asarray(out_c.ll), np.asarray(out_p.ll),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_c.hmean),
+                               np.asarray(out_p.hmean), rtol=1e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_c.continuum),
+                               np.asarray(out_p.continuum), rtol=1e-4,
+                               atol=1e-5)
+
+
 @pytest.mark.skipif(
     not __import__("os").path.isdir("/root/reference/data"),
     reason="reference data artifacts not present",
