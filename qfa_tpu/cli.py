@@ -195,7 +195,7 @@ def run_train(cfg: ConfigNode) -> None:
     mesh = _build_mesh(cfg, cfg.DATA.BATCH_SIZE, logger)
     engine = cfg.TRAIN.ENGINE
     use_pallas = False
-    if mesh is None and val_residuals is None and engine in ("auto", "pallas"):
+    if mesh is None and engine in ("auto", "pallas"):
         on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
         if on_tpu:
             use_pallas = True
@@ -250,8 +250,8 @@ def run_train(cfg: ConfigNode) -> None:
                     "resident layout: in-kernel mask + zq-column redshifts"
                 )
             params, history = fit_pallas(
-                params, residuals, mu, train_cfg, **pallas_kwargs,
-                **fit_kwargs,
+                params, residuals, mu, train_cfg, val_data=val_residuals,
+                **pallas_kwargs, **fit_kwargs,
             )
         else:
             params, history = fit(

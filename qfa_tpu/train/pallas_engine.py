@@ -177,6 +177,7 @@ def fit_pallas(
     output_dir: str | None = None,
     logger: logging.Logger | None = None,
     metrics_cb: Callable[[int, float, float], None] | None = None,
+    val_data: ResidualDataset | None = None,
     initial_state: TrainState | None = None,
     tile_batch: int | None = None,
     reshuffle_interval: int = 0,
@@ -188,11 +189,13 @@ def fit_pallas(
     """Full training run on the single-launch epoch engine.
 
     Same contract as :func:`qfa_tpu.train.loop.fit` (resume via
-    ``initial_state``, smoothing/saving/early-stop at epoch boundaries).
-    The dataset is padded with inert zero rows up to a batch multiple, so
-    the tail batch trains. ``reshuffle_interval > 0`` physically permutes
-    the resident rows every K epochs (tile composition otherwise fixed;
-    tile-to-batch assignment is random every epoch).
+    ``initial_state``, smoothing/saving/early-stop at epoch boundaries,
+    held-out ``val_data`` evaluated after every epoch — always in the
+    plane layout, independent of the training layout). The dataset is
+    padded with inert zero rows up to a batch multiple, so the tail batch
+    trains. ``reshuffle_interval > 0`` physically permutes the resident
+    rows every K epochs (tile composition otherwise fixed; tile-to-batch
+    assignment is random every epoch).
     """
     key = jax.random.key(0) if key is None else key
     state = (
@@ -205,13 +208,31 @@ def fit_pallas(
         pad = config.batch_size - data.size % config.batch_size
         data = ResidualDataset(
             *(
-                jnp.concatenate(
+                None
+                if leaf is None
+                else jnp.concatenate(
                     [leaf, jnp.zeros((pad,) + leaf.shape[1:], leaf.dtype)]
                 )
                 for leaf in data
             )
         )
     history: list = []
+
+    val_fn = None
+    if val_data is not None:
+        from ..data.batch import SpectraBatch
+        from ..models.qfa import mean_nll
+
+        @jax.jit
+        def val_fn(p):
+            batch = SpectraBatch(
+                delta=val_data.delta,
+                error=val_data.error,
+                zabs=val_data.zabs,
+                mask=val_data.mask,
+                weight=jnp.ones((val_data.size,), val_data.delta.dtype),
+            )
+            return mean_nll(p, batch, config.options)
 
     def _save(state, ckpt):
         save_npz(
@@ -244,11 +265,15 @@ def fit_pallas(
         )
         dt = time.perf_counter() - t0
         history.append(loss)
+        val_loss = None if val_fn is None else float(val_fn(state.params))
         if logger is not None:
-            logger.info(
-                "epoch: %03d/%03d  ;  loss:  %.2f  ;  time:  %.2f s",
-                epoch, config.n_epochs, loss, dt,
+            msg = (
+                f"epoch: {epoch:03d}/{config.n_epochs:03d}  ;  "
+                f"loss:  {loss:.2f}  ;  time:  {dt:.2f} s"
             )
+            if val_loss is not None:
+                msg += f"  ;  val_loss:  {val_loss:.2f}"
+            logger.info(msg)
         if metrics_cb is not None:
             metrics_cb(epoch, loss, dt)
         ckpt = epoch + 1

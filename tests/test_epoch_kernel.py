@@ -228,6 +228,32 @@ def test_epoch_kernel_derived_mask_matches(problem):
                                    atol=1e-8)
 
 
+def test_fit_pallas_validation(problem, caplog):
+    """Held-out validation NLL is evaluated and logged each epoch."""
+    import logging
+
+    from qfa_tpu.train import fit_pallas
+
+    grid, nh, data = problem
+    mu = jnp.full((grid.npix,), 1.1, jnp.float32)
+    cfg = TrainConfig(n_epochs=2, batch_size=32, learning_rate=1e-2,
+                      weight_decay=0.0, smooth_interval=100,
+                      save_interval=100)
+    p0 = random_init(jax.random.key(5), grid.npix, grid.nb, nh)
+    val = ResidualDataset(*(leaf[:16] for leaf in data))
+    logger = logging.getLogger("test_fit_pallas_validation")
+    with caplog.at_level(logging.INFO, logger=logger.name):
+        fit_pallas(p0, data, mu, cfg, key=jax.random.key(6), tile_batch=8,
+                   val_data=val, logger=logger, interpret=True)
+    val_lines = [r.message for r in caplog.records if "val_loss" in r.message]
+    assert len(val_lines) == 2
+    import re
+
+    vals = [float(re.search(r"val_loss:\s+(-?[\d.]+)", m).group(1))
+            for m in val_lines]
+    assert all(np.isfinite(v) for v in vals)
+
+
 def test_epoch_kernel_derive_zabs_matches():
     """derive_zabs (in-kernel log(1+zabs) from the zq column) equals the
     explicit zabs-plane run to float32 rounding."""
@@ -275,7 +301,9 @@ def test_fit_pallas_derive_zabs_and_mask(problem, tmp_path):
     mu = jnp.full((grid.npix,), 1.1, jnp.float32)
     syn = generate(jax.random.key(1), true, mu, grid, 64, mask_frac=0.15)
     b = syn.to_batch(mu)
-    cfg = TrainConfig(n_epochs=2, batch_size=32, learning_rate=1e-2,
+    # batch 24 does not divide 64 rows: both runs exercise the inert-row
+    # padding (including padding the None mask / zq-column leaves)
+    cfg = TrainConfig(n_epochs=2, batch_size=24, learning_rate=1e-2,
                       weight_decay=0.0, smooth_interval=100,
                       save_interval=100)
     p0 = random_init(jax.random.key(5), grid.npix, grid.nb, nh)
