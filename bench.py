@@ -44,9 +44,11 @@ INFER_BASELINE = 5.5  # spectra/s, reference predict path on 1 CPU core
 
 # Analytic MXU FLOPs per spectrum inside the epoch kernel (all f32-HIGHEST):
 # forward K/w dots (2 rows x RC), scalar contractions (4 x 1), backward
-# per-pixel cotangents (nh^2 + nh), gradient accumulation (2 rows x RC).
+# per-pixel cotangents (tri(nh) + nh), gradient accumulation (2 rows x RC).
+# The Gram block is stored as its lower triangle (RC = tri + nh + 1 rows).
 def kernel_flops_per_spectrum(p: int, rc: int, nh: int) -> float:
-    return 2.0 * p * (2 * rc + 4 + (nh * nh + nh) + 2 * rc)
+    ntri = nh * (nh + 1) // 2
+    return 2.0 * p * (2 * rc + 4 + (ntri + nh) + 2 * rc)
 
 
 def make_problem(grid, nh, n, seed=0):
@@ -294,7 +296,7 @@ def main() -> None:
     from qfa_tpu.ops.fused_step import _round_up
 
     p = _round_up(grid.npix, 128)
-    rc = _round_up(nh * nh + nh + 1, 8)
+    rc = _round_up(nh * (nh + 1) // 2 + nh + 1, 8)
     fps = kernel_flops_per_spectrum(p, rc, nh)
     tflops = train_rate * fps / 1e12
     mfu_pct = 100.0 * tflops / max(peak_tflops, 1e-9)
@@ -353,7 +355,8 @@ def main() -> None:
                 "kernel_launches_per_epoch": 1,
                 "note": "workload is launch/VPU-bound, not GEMM-bound: the "
                         "whole epoch is one kernel; per-spectrum MXU work is "
-                        "~1.5 MFLOP against an 18k-param model",
+                        "~0.9 MFLOP (symmetric-triangle Gram contractions) "
+                        "against an 18k-param model",
             },
         },
     }

@@ -27,9 +27,12 @@ Adam update, and parameter clipping — executes inside a single
   moments updated with the reference's per-epoch bias-correction
   semantics (the correction factors are constants within an epoch,
   ``/root/reference/QFA/model.py:214-215``), parameters clipped
-  (``/root/reference/QFA/model.py:233-241``), and the ``[Gram | F |
+  (``/root/reference/QFA/model.py:233-241``), and the ``[tri(Gram) | F |
   ones]`` contraction matrix is rebuilt from the new F before the next
-  batch's tiles arrive.
+  batch's tiles arrive. The Gram block (and the backward S matrix) are
+  symmetric, so only the nh(nh+1)/2 lower-triangle rows are materialized
+  — every MXU contraction over that block shrinks ~45% (off-diagonal S
+  rows are pre-doubled; accumulated dG rows land as dG[ab] + dG[ba]).
 
 Everything is laid out **row-major along the pixel axis** — parameters,
 gradients and the contraction matrix all live as (rows, P) with pixels on
@@ -83,6 +86,18 @@ class EpochOutputs(NamedTuple):
 # small in-kernel linear algebra on lane-major layout (lists of (TB,) values)
 # -- same factorization as ops.fused_step
 # ---------------------------------------------------------------------------
+
+
+def _tri_pairs(nh: int):
+    """Lower-triangle index pairs [(a, b) with a >= b] — the Gram matrix is
+    symmetric, so only these nh(nh+1)/2 rows are materialized (vs nh^2),
+    shrinking every MXU contraction over the Gram block by ~45%."""
+    return [(a, b) for a in range(nh) for b in range(a + 1)]
+
+
+def _tri_idx(a: int, b: int) -> int:
+    a, b = (a, b) if a >= b else (b, a)
+    return a * (a + 1) // 2 + b
 
 
 def _chol_t(k_t, nh):
@@ -198,7 +213,9 @@ def _epoch_kernel(
     i = pl.program_id(0)  # batch index
     j = pl.program_id(1)  # tile-within-batch index
     f32 = jnp.float32
-    ones_row = nh * nh + nh
+    pairs = _tri_pairs(nh)
+    ntri = len(pairs)  # nh(nh+1)/2 lower-triangle Gram rows
+    ones_row = ntri + nh
 
     # -- one-time init ------------------------------------------------------
     @pl.when(jnp.logical_and(i == 0, j == 0))
@@ -211,12 +228,9 @@ def _epoch_kernel(
         rhst_scr[...] = jnp.zeros_like(rhst_scr)
         ft0 = ft0_ref[...]  # (NH, P)
         for a in range(nh):
-            fa = ft0[a : a + 1, :]
-            rhst_scr[nh * nh + a : nh * nh + a + 1, :] = fa
-            for b in range(nh):
-                rhst_scr[a * nh + b : a * nh + b + 1, :] = (
-                    fa * ft0[b : b + 1, :]
-                )
+            rhst_scr[ntri + a : ntri + a + 1, :] = ft0[a : a + 1, :]
+        for t, (a, b) in enumerate(pairs):
+            rhst_scr[t : t + 1, :] = ft0[a : a + 1, :] * ft0[b : b + 1, :]
         rhst_scr[ones_row : ones_row + 1, :] = jnp.ones_like(
             rhst_scr[ones_row : ones_row + 1, :]
         )
@@ -291,15 +305,22 @@ def _epoch_kernel(
         # per-spectrum math below never mixes offsets (Mosaic requirement)
         return jax.lax.dot_general(rows, x, (((1,), (1,)), ((), ())), **_HP)
 
-    k_t = dot_lanes(rhst_scr[0 : nh * nh, :], w_row)  # (nh*nh, TB)
-    w_t = dot_lanes(rhst_scr[nh * nh : nh * nh + nh, :], u_row)  # (nh, TB)
+    k_t = dot_lanes(rhst_scr[0:ntri, :], w_row)  # (ntri, TB)
+    w_t = dot_lanes(rhst_scr[ntri : ntri + nh, :], u_row)  # (nh, TB)
     ones_r = rhst_scr[ones_row : ones_row + 1, :]  # (1, P)
     quad = dot_lanes(ones_r, q_row)  # (1, TB)
     logdet_d = dot_lanes(ones_r, logd_row)
     n_obs = dot_lanes(ones_r, m)
     n_blue = dot_lanes(ones_r, mblue)
 
-    k_cols = [k_t[a : a + 1, :] for a in range(nh * nh)]
+    # expand the triangle back to the flat (a*nh+b) list the factorization
+    # indexes; the Cholesky only ever reads the lower triangle, so shared
+    # slices are exact
+    k_cols = [
+        k_t[_tri_idx(a, b) : _tri_idx(a, b) + 1, :]
+        for a in range(nh)
+        for b in range(nh)
+    ]
     for a in range(nh):
         k_cols[a * nh + a] = k_cols[a * nh + a] + 1.0
     w_cols = [w_t[a : a + 1, :] for a in range(nh)]
@@ -324,30 +345,38 @@ def _epoch_kernel(
     small_scr[0:1, 1:2] += sums3[1:2, :]
     small_scr[0:1, 2:3] += sums3[2:3, :]
 
-    # analytic backward: S = 1/2 (K^-1 + alpha alpha^T), dW = -alpha
-    s_rows = [None] * (nh * nh)
+    # analytic backward: S = 1/2 (K^-1 + alpha alpha^T), dW = -alpha.
+    # S and the Gram block are both symmetric, so only the lower triangle
+    # is materialized, with off-diagonal rows pre-doubled: every use below
+    # is a symmetric contraction  sum_ab S[ab] G[ab]  =  sum_tri w S G
+    # (w = 1 diag, 2 off-diag), and the accumulated dG rows land directly
+    # as dG[ab] + dG[ba].
+    s_tri = [None] * ntri
     for b in range(nh):
         e = [jnp.full_like(quad, 1.0 if a == b else 0.0) for a in range(nh)]
         mj = _solve_upper_t(chol, _solve_lower_t(chol, e, nh), nh)
-        for a in range(nh):
-            s_rows[a * nh + b] = 0.5 * (mj[a] + alpha[a] * alpha[b])
-    s_t = jnp.concatenate(s_rows, axis=0)  # (nh*nh, TB)
+        for a in range(b, nh):
+            w_ab = 1.0 if a == b else 2.0
+            s_tri[_tri_idx(a, b)] = w_ab * 0.5 * (
+                mj[a] + alpha[a] * alpha[b]
+            )
+    s_t = jnp.concatenate(s_tri, axis=0)  # (ntri, TB)
     alpha_t = jnp.concatenate(alpha, axis=0)  # (nh, TB)
 
     dw_pix = jax.lax.dot_general(
-        s_t, rhst_scr[0 : nh * nh, :], (((0,), (0,)), ((), ())), **_HP
+        s_t, rhst_scr[0:ntri, :], (((0,), (0,)), ((), ())), **_HP
     )  # (TB, P)
     du_pix = jax.lax.dot_general(
-        -alpha_t, rhst_scr[nh * nh : nh * nh + nh, :],
+        -alpha_t, rhst_scr[ntri : ntri + nh, :],
         (((0,), (0,)), ((), ())), **_HP,
     )
 
     # single accumulation dot: rows [s | 0pad] act on the w lanes and rows
     # [0 | -alpha | 0pad] on the u lanes of wu_rows
-    pad_rows = drhst_scr.shape[0] - (nh * nh + nh)
+    pad_rows = drhst_scr.shape[0] - (ntri + nh)
     sa_t = jnp.concatenate(
         [
-            jnp.concatenate([s_t, jnp.zeros((nh * nh, tb), f32)], axis=1),
+            jnp.concatenate([s_t, jnp.zeros((ntri, tb), f32)], axis=1),
             jnp.concatenate([jnp.zeros((nh, tb), f32), -alpha_t], axis=1),
             jnp.zeros((pad_rows, 2 * tb), f32),
         ],
@@ -429,17 +458,19 @@ def _epoch_kernel(
         rows_scr[R_MOMEGA : R_MOMEGA + 1, :] = om_new * blue_r
         rows_scr[R_VOMEGA : R_VOMEGA + 1, :] = ov_new * blue_r
 
-        # F rows: dF[a] = dRHS_F[a] + sum_b (dG[ab] + dG[ba]) F[b], all (1,P)
-        f_rows = [
-            rhst_scr[nh * nh + a : nh * nh + a + 1, :] for a in range(nh)
-        ]
+        # F rows: dF[a] = dRHS_F[a] + sum_b (dG[ab] + dG[ba]) F[b], all
+        # (1,P). Off-diagonal tri rows already hold dG[ab]+dG[ba] (the S
+        # rows were pre-doubled); the diagonal row holds dG[aa] once.
+        f_rows = [rhst_scr[ntri + a : ntri + a + 1, :] for a in range(nh)]
         new_f_rows = []
         for a in range(nh):
-            df = drhst_scr[nh * nh + a : nh * nh + a + 1, :]
+            df = drhst_scr[ntri + a : ntri + a + 1, :]
             for b in range(nh):
-                dg_ab = drhst_scr[a * nh + b : a * nh + b + 1, :]
-                dg_ba = drhst_scr[b * nh + a : b * nh + a + 1, :]
-                df = df + (dg_ab + dg_ba) * f_rows[b]
+                t = _tri_idx(a, b)
+                dg = drhst_scr[t : t + 1, :]
+                if a == b:
+                    dg = dg + dg
+                df = df + dg * f_rows[b]
             df = df / denom_row * zero_row
             g = df + wd * f_rows[a]
             mn = (1.0 - b1) * g + b1 * mft_scr[a : a + 1, :]
@@ -488,13 +519,11 @@ def _epoch_kernel(
             hyper_ref[0, H_BMIN], hyper_ref[0, H_BMAX],
         )
 
-        # rebuild [gram | F] rows from the new F
+        # rebuild [tri(gram) | F] rows from the new F
         for a in range(nh):
-            rhst_scr[nh * nh + a : nh * nh + a + 1, :] = new_f_rows[a]
-            for b in range(nh):
-                rhst_scr[a * nh + b : a * nh + b + 1, :] = (
-                    new_f_rows[a] * new_f_rows[b]
-                )
+            rhst_scr[ntri + a : ntri + a + 1, :] = new_f_rows[a]
+        for t, (a, b) in enumerate(pairs):
+            rhst_scr[t : t + 1, :] = new_f_rows[a] * new_f_rows[b]
 
         # per-batch loss output: [nll_sum, scalar_cnt, n_real, ...]
         loss_ref[pl.ds(i, 1), :] = small_scr[...]
@@ -502,7 +531,7 @@ def _epoch_kernel(
     # -- epoch end: write final state ----------------------------------------
     @pl.when(jnp.logical_and(i == n_batches - 1, j == tpb - 1))
     def _finalize():
-        ft_out_ref[...] = rhst_scr[nh * nh : nh * nh + nh, :]
+        ft_out_ref[...] = rhst_scr[ntri : ntri + nh, :]
         mft_out_ref[...] = mft_scr[...]
         vft_out_ref[...] = vft_scr[...]
         rows_out_ref[...] = rows_scr[...]
@@ -610,8 +639,10 @@ def fused_train_epoch(
         )
     tpb = n_tiles // n_batches
     # rc is the SUBLANE dim of the contraction matrix (8-multiple suffices;
-    # 128 would pad 73 -> 128 rows of wasted MXU work per dot)
-    p, rc = _round_up(npix, 128), _round_up(nh * nh + nh + 1, 8)
+    # 128 would pad the rows to 128 of wasted MXU work per dot). The Gram
+    # block stores only its lower triangle (symmetric): nh(nh+1)/2 rows.
+    ntri = nh * (nh + 1) // 2
+    p, rc = _round_up(npix, 128), _round_up(ntri + nh + 1, 8)
     f32 = jnp.float32
 
     def pad_px(x, width):

@@ -35,7 +35,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.params import QFAParams
-from .epoch_kernel import _chol_t, _dot_t, _solve_lower_t, _solve_upper_t
+from .epoch_kernel import (
+    _chol_t,
+    _dot_t,
+    _solve_lower_t,
+    _solve_upper_t,
+    _tri_idx,
+    _tri_pairs,
+)
 from .fused_step import TAU_LAW_ABC, _round_up
 
 Array = jnp.ndarray
@@ -82,7 +89,8 @@ def _predict_kernel(
     else:
         cont_ref, std_ref, stats_ref = rest
     f32 = jnp.float32
-    ones_row = nh * nh + nh
+    ntri = nh * (nh + 1) // 2  # lower-triangle Gram rows (symmetric)
+    ones_row = ntri + nh
 
     law_a = hyper_ref[0, 0]
     law_b = hyper_ref[0, 1]
@@ -132,14 +140,19 @@ def _predict_kernel(
     def dot_lanes(rows, x):
         return jax.lax.dot_general(rows, x, (((1,), (1,)), ((), ())), **hp)
 
-    k_t = dot_lanes(rhst_ref[0 : nh * nh, :], w_row)  # (nh*nh, TB)
-    w_t = dot_lanes(rhst_ref[nh * nh : nh * nh + nh, :], u_row)  # (nh, TB)
+    k_t = dot_lanes(rhst_ref[0:ntri, :], w_row)  # (ntri, TB)
+    w_t = dot_lanes(rhst_ref[ntri : ntri + nh, :], u_row)  # (nh, TB)
     ones_r = rhst_ref[ones_row : ones_row + 1, :]
     quad = dot_lanes(ones_r, q_row)  # (1, TB)
     logdet_d = dot_lanes(ones_r, logd_row)
     n_obs = dot_lanes(ones_r, m)
 
-    k_cols = [k_t[a : a + 1, :] for a in range(nh * nh)]
+    # triangle -> flat (a*nh+b) list; the Cholesky reads the lower half only
+    k_cols = [
+        k_t[_tri_idx(a, b) : _tri_idx(a, b) + 1, :]
+        for a in range(nh)
+        for b in range(nh)
+    ]
     for a in range(nh):
         k_cols[a * nh + a] = k_cols[a * nh + a] + 1.0
     w_cols = [w_t[a : a + 1, :] for a in range(nh)]
@@ -150,7 +163,9 @@ def _predict_kernel(
     logdet_k = 2.0 * sum(jnp.log(chol[a][a]) for a in range(nh))
     ll = 0.5 * (mahal + n_obs * LOG_2PI + logdet_d + logdet_k)  # (1, TB)
 
-    # K^-1 rows (posterior covariance), lane-major
+    # K^-1 rows (posterior covariance), lane-major; full set feeds the
+    # stats output, a pre-doubled lower triangle feeds the symmetric
+    # variance contraction diag(F K^-1 F^T) = sum_tri w K^-1[ab] G[ab]
     kinv_rows = [None] * (nh * nh)
     for b in range(nh):
         e = [jnp.full_like(quad, 1.0 if a == b else 0.0) for a in range(nh)]
@@ -163,13 +178,20 @@ def _predict_kernel(
     if not stats_only:
         cont = (
             jax.lax.dot_general(
-                alpha_t, rhst_ref[nh * nh : nh * nh + nh, :],
+                alpha_t, rhst_ref[ntri : ntri + nh, :],
                 (((0,), (0,)), ((), ())), **hp,
             )
             + mu
         )
+        kinv_tri = jnp.concatenate(
+            [
+                (1.0 if a == b else 2.0) * kinv_rows[a * nh + b]
+                for (a, b) in _tri_pairs(nh)
+            ],
+            axis=0,
+        )  # (ntri, TB)
         var = jax.lax.dot_general(
-            kinv_t, rhst_ref[0 : nh * nh, :], (((0,), (0,)), ((), ())), **hp
+            kinv_tri, rhst_ref[0:ntri, :], (((0,), (0,)), ((), ())), **hp
         )
         cont_ref[...] = cont
         std_ref[...] = jnp.sqrt(jnp.maximum(var, 0.0))
@@ -233,7 +255,8 @@ def fused_predict(
     tb = tile_batch
     if n % tb:
         raise ValueError(f"N={n} not divisible by tile_batch={tb}")
-    p, rc = _round_up(npix, 128), _round_up(nh * nh + nh + 1, 8)
+    p = _round_up(npix, 128)
+    rc = _round_up(nh * (nh + 1) // 2 + nh + 1, 8)
     f32 = jnp.float32
 
     def pad_px(x, width=None):
@@ -270,12 +293,16 @@ def fused_predict(
         jnp.zeros((p,), f32) if not derive_zabs else row(loglam),
     ])
     mu_row = row(mu)[None, :]
-    # [gram | F | ones] rows, built once outside the kernel (read-only here)
+    # [tri(gram) | F | ones] rows, built once outside the kernel
+    # (read-only here; only the symmetric Gram's lower triangle is stored)
     f_p = jnp.pad(params.F.astype(f32), ((0, p - npix), (0, 0)))
-    gram_t = (f_p.T[:, None, :] * f_p.T[None, :, :]).reshape(nh * nh, p)
+    ntri = nh * (nh + 1) // 2
+    gram_t = jnp.stack(
+        [f_p.T[a] * f_p.T[b] for (a, b) in _tri_pairs(nh)]
+    )  # (ntri, p)
     rhst = jnp.concatenate(
         [gram_t, f_p.T, jnp.ones((1, p), f32),
-         jnp.zeros((rc - nh * nh - nh - 1, p), f32)]
+         jnp.zeros((rc - ntri - nh - 1, p), f32)]
     )
 
     law_a, law_b, law_c = TAU_LAW_ABC[tau_which]
