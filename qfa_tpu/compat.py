@@ -230,6 +230,7 @@ class QFA:
         weight_decay: float = 0.1,
         decay_alpha: float = 0.9,
         decay_step: int = 10,
+        engine: str = "auto",
     ) -> None:
         """Train on a :class:`Dataloader`'s data.
 
@@ -240,6 +241,10 @@ class QFA:
         :func:`step_scheduler`'s does) the decay schedule is honored too.
         Schedules passed as opaque closures cannot be introspected — pass
         ``decay_alpha``/``decay_step`` explicitly in that case.
+
+        ``engine``: ``"auto"`` (default) trains with the single-launch
+        whole-epoch Pallas kernel when a TPU is visible and the XLA scan
+        epoch otherwise; ``"pallas"``/``"xla"`` force one.
         """
         if dataloader is None:
             raise ValueError("dataloader is required")
@@ -271,7 +276,13 @@ class QFA:
                     "epoch: {:03d}/{:03d}  ;  loss:  {:.2f}  ;  "
                     "time:  {:.2f} s ".format(epoch, n_epochs, loss, dt)
                 )
-        params, _history = fit_fn(
+        run = fit_fn
+        if engine == "pallas" or (
+            engine == "auto"
+            and jax.devices()[0].platform.lower() in ("tpu", "axon")
+        ):
+            from .train import fit_pallas as run
+        params, _history = run(
             self._params,
             dataloader.residuals(),
             self.mu,

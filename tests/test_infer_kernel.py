@@ -113,6 +113,21 @@ def test_fused_predict_golden_file():
     np.testing.assert_allclose(np.asarray(out.continuum[0]), s["our"],
                                atol=5e-5)
 
+    # the zq-column mode hits the same golden values
+    from qfa_tpu.ops import loglam_row, zq_column
+
+    out_c = fused_predict(
+        params, mu,
+        jnp.asarray(flux)[None], jnp.asarray(error)[None],
+        zq_column(jnp.asarray([float(s["z"])])),
+        jnp.asarray(mask, jnp.float32)[None],
+        tile_batch=1, interpret=True,
+        loglam=loglam_row(grid.wav), derive_zabs=True,
+    )
+    assert float(out_c.ll[0]) == pytest.approx(float(s["ll"]), abs=5e-3)
+    np.testing.assert_allclose(np.asarray(out_c.continuum[0]), s["our"],
+                               atol=5e-5)
+
 
 def test_predict_dataset_fused_matches_host_path(problem):
     """The chunked fused-kernel driver equals predict_dataset (host path),
