@@ -180,9 +180,32 @@ def run_train(cfg: ConfigNode) -> None:
     if auto is not None:
         initial_state, _mu_saved = load_state(auto)
         params = initial_state.params
+        # guard against silently restoring a stale/incompatible run from a
+        # reused output dir: shape mismatches are an error, not a restore
+        if params.F.shape != (grid.npix, cfg.MODEL.NH):
+            raise ValueError(
+                f"auto-resume checkpoint {auto} has F shape "
+                f"{params.F.shape} but the current config wants "
+                f"({grid.npix}, {cfg.MODEL.NH}); delete the stale "
+                "checkpoints/ in the output dir, change DATA.OUTPUT_DIR, "
+                "or set TRAIN.AUTO_RESUME False"
+            )
+        if cfg.MODEL.RESUME:
+            logger.warning(
+                "ignoring MODEL.RESUME=%s: auto-resuming the run already "
+                "in %s instead (set TRAIN.AUTO_RESUME False to override)",
+                cfg.MODEL.RESUME, out,
+            )
+        start = int(initial_state.opt_state.epoch)
+        if start >= cfg.TRAIN.NEPOCHS:
+            logger.warning(
+                "auto-resumed state is already at epoch %d >= NEPOCHS=%d: "
+                "no epochs will run and the saved model is the checkpoint "
+                "as-is", start, cfg.TRAIN.NEPOCHS,
+            )
         logger.info(
             "auto-resumed full training state from %s (epoch %d)",
-            auto, int(initial_state.opt_state.epoch),
+            auto, start,
         )
     elif cfg.MODEL.RESUME and os.path.exists(cfg.MODEL.RESUME):
         params, _ = load_npz(cfg.MODEL.RESUME, compat_c0_bug=cfg.MODEL.COMPAT_C0_BUG)

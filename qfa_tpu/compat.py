@@ -248,9 +248,13 @@ class QFA:
         """
         if dataloader is None:
             raise ValueError("dataloader is required")
+        b1, b2, eps = 0.9, 0.999, 1e-8
         if optimizer is not None:
             learning_rate = getattr(optimizer, "learning_rate", learning_rate)
             weight_decay = getattr(optimizer, "weight_decay", weight_decay)
+            b1 = float(getattr(optimizer, "b1", b1))
+            b2 = float(getattr(optimizer, "b2", b2))
+            eps = float(getattr(optimizer, "eps", eps))
             sched = getattr(optimizer, "scheduler", None)
             if sched is not None and hasattr(sched, "alpha") and hasattr(sched, "step"):
                 decay_alpha = float(sched.alpha)
@@ -263,6 +267,9 @@ class QFA:
             weight_decay=weight_decay,
             decay_alpha=decay_alpha,
             decay_step=decay_step,
+            b1=b1,
+            b2=b2,
+            eps=eps,
             smooth_interval=smooth_interval,
             save_interval=save_interval,
             options=self._options,

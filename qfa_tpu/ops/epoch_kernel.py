@@ -49,9 +49,14 @@ compositions (tests/test_epoch_kernel.py). Reference behavior covered:
 the training hot loop ``/root/reference/QFA/model.py:98-158`` plus the
 optimizer ``/root/reference/QFA/optimizer.py:37-69``.
 
-Known, documented divergence from the XLA path: no per-step non-finite
-update rejection (``guard_nonfinite``) — parameter clipping bounds the
-trajectory instead.
+Known, documented divergences from the XLA path: (1) no per-step
+non-finite update rejection (``guard_nonfinite``) — parameter clipping
+bounds the trajectory instead; (2) ``n_real`` counts rows with >= 1
+observed pixel, while the XLA engine counts all weight-1 rows — a row
+that is real but FULLY masked is excluded here (it is indistinguishable
+from padding), which shifts the mean-normalized (``reference_norm=False``)
+divisor and the per-batch loss means when such rows exist. Rows with any
+observed pixel are identical between the engines.
 """
 
 from __future__ import annotations
@@ -158,16 +163,6 @@ G_DPSI, G_DOMEGA, G_CNT, G_DT0, G_DC0, G_DBETA = 0, 1, 2, 3, 4, 5
 _HP = dict(
     precision=jax.lax.Precision.HIGHEST, preferred_element_type=jnp.float32
 )
-
-
-def _dot_t(x, rt):
-    """(TB, P) x (RC, P) -> (TB, RC): contraction over the pixel lanes."""
-    return jax.lax.dot_general(x, rt, (((1,), (1,)), ((), ())), **_HP)
-
-
-def _dot_acc(small, x):
-    """(TB, RC) x (TB, P) -> (RC, P): contraction over the batch rows."""
-    return jax.lax.dot_general(small, x, (((0,), (0,)), ((), ())), **_HP)
 
 
 def _epoch_kernel(

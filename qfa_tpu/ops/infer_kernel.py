@@ -37,7 +37,6 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.params import QFAParams
 from .epoch_kernel import (
     _chol_t,
-    _dot_t,
     _solve_lower_t,
     _solve_upper_t,
     _tri_idx,

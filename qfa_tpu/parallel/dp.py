@@ -112,6 +112,7 @@ def make_dp_epoch_fn(
     engine: str = "xla",
     tile_batch: int | None = None,
     interpret: bool = False,
+    n_real: int | None = None,
 ) -> Callable:
     """Build the jitted SPMD one-epoch function.
 
@@ -195,8 +196,13 @@ def make_dp_epoch_fn(
 
         state, losses = jax.lax.scan(batch_step, state, (idx, wts))
         # reference epoch-loss bookkeeping: sum of batch means over
-        # floor(N_global / batch_size) (/root/reference/QFA/model.py:206-213)
-        niter = max(data.delta.shape[0] * ndev // config.batch_size, 1)
+        # floor(N_real / batch_size) (/root/reference/QFA/model.py:206-213).
+        # ``n_real`` (when given) is the REAL row count — the resident
+        # dataset may carry zero-weight padding up to a device multiple.
+        n_total = (
+            n_real if n_real is not None else data.delta.shape[0] * ndev
+        )
+        niter = max(n_total // config.batch_size, 1)
         return (
             TrainState(state.params, adam.next_epoch(state.opt_state)),
             jnp.sum(losses) / niter,

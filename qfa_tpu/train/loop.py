@@ -82,6 +82,9 @@ class TrainConfig:
     weight_decay: float = 0.1
     decay_alpha: float = 0.9
     decay_step: int = 10
+    b1: float = 0.9
+    b2: float = 0.999
+    eps: float = 1e-8
     smooth_interval: int = 5
     save_interval: int = 5
     reference_norm: bool = True  #: per-element nonzero-count grad averaging.
@@ -93,6 +96,9 @@ class TrainConfig:
     def adam_config(self) -> adam.AdamConfig:
         return adam.AdamConfig(
             learning_rate=self.learning_rate,
+            b1=self.b1,
+            b2=self.b2,
+            eps=self.eps,
             weight_decay=self.weight_decay,
             decay_alpha=self.decay_alpha,
             decay_step=self.decay_step,
@@ -232,16 +238,20 @@ def fit_streaming(
         from ..data.batch import SpectraBatch
         from ..models.qfa import mean_nll
 
-        @jax.jit
+        # the batch is a jit ARGUMENT, never a closed-over constant: on
+        # the tunneled backend closed-over arrays are embedded in the
+        # remote-compile request (HTTP 413 past ~100 MB)
+        val_batch = SpectraBatch(
+            delta=val_data.delta,
+            error=val_data.error,
+            zabs=val_data.zabs,
+            mask=val_data.mask,
+            weight=jnp.ones((val_data.size,), val_data.delta.dtype),
+        )
+        _val_nll = jax.jit(lambda p, b: mean_nll(p, b, config.options))
+
         def val_fn(p):
-            batch = SpectraBatch(
-                delta=val_data.delta,
-                error=val_data.error,
-                zabs=val_data.zabs,
-                mask=val_data.mask,
-                weight=jnp.ones((val_data.size,), val_data.delta.dtype),
-            )
-            return mean_nll(p, batch, config.options)
+            return _val_nll(p, val_batch)
 
     def _save(state, ckpt):
         save_npz(
@@ -527,7 +537,7 @@ def fit(
                 )
             )
         data = shard_dataset(data, mesh)
-        dp_epoch_fn = make_dp_epoch_fn(config, mesh)
+        dp_epoch_fn = make_dp_epoch_fn(config, mesh, n_real=n_real)
 
         def run_epoch(state, sub):
             ei = shard_epoch_indices(
@@ -547,16 +557,20 @@ def fit(
         from ..data.batch import SpectraBatch
         from ..models.qfa import mean_nll
 
-        @jax.jit
+        # the batch is a jit ARGUMENT, never a closed-over constant: on
+        # the tunneled backend closed-over arrays are embedded in the
+        # remote-compile request (HTTP 413 past ~100 MB)
+        val_batch = SpectraBatch(
+            delta=val_data.delta,
+            error=val_data.error,
+            zabs=val_data.zabs,
+            mask=val_data.mask,
+            weight=jnp.ones((val_data.size,), val_data.delta.dtype),
+        )
+        _val_nll = jax.jit(lambda p, b: mean_nll(p, b, config.options))
+
         def val_fn(p):
-            batch = SpectraBatch(
-                delta=val_data.delta,
-                error=val_data.error,
-                zabs=val_data.zabs,
-                mask=val_data.mask,
-                weight=jnp.ones((val_data.size,), val_data.delta.dtype),
-            )
-            return mean_nll(p, batch, config.options)
+            return _val_nll(p, val_batch)
 
     def _save(state, ckpt):
         save_npz(

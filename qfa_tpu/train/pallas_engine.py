@@ -112,6 +112,9 @@ def make_pallas_epoch_fn(
             weight_decay=config.weight_decay,
             decay_alpha=config.decay_alpha,
             decay_step=config.decay_step,
+            b1=config.b1,
+            b2=config.b2,
+            eps=config.eps,
             bounds=config.bounds,
             tau_which=config.options.tau_which,
             reference_norm=config.reference_norm,
@@ -223,16 +226,20 @@ def fit_pallas(
         from ..data.batch import SpectraBatch
         from ..models.qfa import mean_nll
 
-        @jax.jit
+        # the batch is a jit ARGUMENT, never a closed-over constant: on
+        # the tunneled backend closed-over arrays are embedded in the
+        # remote-compile request (HTTP 413 past ~100 MB)
+        val_batch = SpectraBatch(
+            delta=val_data.delta,
+            error=val_data.error,
+            zabs=val_data.zabs,
+            mask=val_data.mask,
+            weight=jnp.ones((val_data.size,), val_data.delta.dtype),
+        )
+        _val_nll = jax.jit(lambda p, b: mean_nll(p, b, config.options))
+
         def val_fn(p):
-            batch = SpectraBatch(
-                delta=val_data.delta,
-                error=val_data.error,
-                zabs=val_data.zabs,
-                mask=val_data.mask,
-                weight=jnp.ones((val_data.size,), val_data.delta.dtype),
-            )
-            return mean_nll(p, batch, config.options)
+            return _val_nll(p, val_batch)
 
     def _save(state, ckpt):
         save_npz(
@@ -250,6 +257,18 @@ def fit_pallas(
             )
 
     owns_buffers = False  # after the first (copying) reshuffle we may donate
+    if reshuffle_interval and start_epoch:
+        # Exact resume: replay the physical permutations the uninterrupted
+        # run applied at earlier epochs (their keys depend only on the base
+        # key and the epoch number), so tile contents — and hence every
+        # subsequent batch composition — match the uninterrupted trajectory.
+        for past in range(reshuffle_interval, start_epoch,
+                          reshuffle_interval):
+            sub_past = jax.random.fold_in(key, past)
+            data = reshuffle_dataset(
+                data, jax.random.fold_in(sub_past, 1), donate=owns_buffers
+            )
+            owns_buffers = True
     for epoch in range(start_epoch, config.n_epochs):
         sub = jax.random.fold_in(key, epoch)
         if reshuffle_interval and epoch and epoch % reshuffle_interval == 0:

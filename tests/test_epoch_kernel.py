@@ -355,6 +355,32 @@ def test_epoch_kernel_nh8(problem):
                                float(st2.params.tau0), rtol=1e-4)
 
 
+def test_fit_pallas_resume_replays_reshuffles(problem, tmp_path):
+    """Resume mid-run with reshuffle_interval>0 reproduces the
+    uninterrupted trajectory (past permutations are replayed)."""
+    from qfa_tpu.train import fit_pallas
+    from qfa_tpu.train.checkpoint import load_state
+
+    grid, nh, data = problem
+    mu = jnp.full((grid.npix,), 1.1, jnp.float32)
+    cfg = TrainConfig(n_epochs=5, batch_size=32, learning_rate=1e-2,
+                      weight_decay=0.0, smooth_interval=100, save_interval=3)
+    p0 = random_init(jax.random.key(5), grid.npix, grid.nb, nh)
+    out = str(tmp_path / "rs")
+    kw = dict(key=jax.random.key(6), tile_batch=8, reshuffle_interval=2,
+              interpret=True)
+    # uninterrupted: reshuffles at epochs 2 and 4, checkpoint at epoch 3
+    params_a, hist_a = fit_pallas(p0, data, mu, cfg, output_dir=out, **kw)
+    st, _ = load_state(f"{out}/checkpoints/state_epoch_03.npz")
+    assert int(st.opt_state.epoch) == 3
+    # resumed from epoch 3: must replay the epoch-2 permutation first
+    params_b, hist_b = fit_pallas(None, data, mu, cfg, initial_state=st,
+                                  **kw)
+    np.testing.assert_allclose(hist_b, hist_a[3:], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(params_b.F),
+                               np.asarray(params_a.F), rtol=1e-6, atol=1e-8)
+
+
 def test_fit_pallas_reshuffle_keeps_caller_buffers(problem, tmp_path):
     """reshuffle_interval must not donate the CALLER's dataset buffers
     (regression: the first reshuffle used to consume them)."""
