@@ -230,25 +230,28 @@ def main() -> None:
     xla_rate = n_spectra / min(xla_times)
 
     # ---- inference throughput: fused single-launch prediction kernel ------
+    # (production layout: zq column + in-kernel mask)
     stage("fused inference")
-    from qfa_tpu.ops import fused_predict
+    from qfa_tpu.ops import fused_predict, zq_column
 
     infer_params = state.params
+    zq = zq_column(syn.zqso)
+    llrow = loglam_row(grid.wav)
     # fresh inputs per trial (the tunnel memoizes identical executions),
     # prepared OUTSIDE the timed window; sync via a small host pull
     sanitize = jax.jit(lambda s, c: (s.flux * s.mask * c, s.error * s.mask))
     flux_s, err_s = sanitize(syn, 1.0)
     _ = float(np.asarray(err_s[0, 0]))
-    res = fused_predict(infer_params, mu, flux_s, err_s, syn.zabs, None,
-                        tile_batch=512)
+    res = fused_predict(infer_params, mu, flux_s, err_s, zq, None,
+                        tile_batch=512, loglam=llrow, derive_zabs=True)
     _ = float(np.asarray(res.ll[0]))
     infer_times = []
     for trial in range(2):
         flux_s, err_s = sanitize(syn, 1.0 + 1e-7 * (trial + 1))
         _ = float(np.asarray(flux_s[0, 0]))
         t0 = time.perf_counter()
-        res = fused_predict(infer_params, mu, flux_s, err_s, syn.zabs, None,
-                            tile_batch=512)
+        res = fused_predict(infer_params, mu, flux_s, err_s, zq, None,
+                            tile_batch=512, loglam=llrow, derive_zabs=True)
         _ = float(np.asarray(res.ll[-1]))
         infer_times.append(time.perf_counter() - t0)
     infer_rate = n_spectra / min(infer_times)
