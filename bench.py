@@ -243,7 +243,7 @@ def main() -> None:
     flux_s, err_s = sanitize(syn, 1.0)
     _ = float(np.asarray(err_s[0, 0]))
     res = fused_predict(infer_params, mu, flux_s, err_s, zq, None,
-                        tile_batch=512, loglam=llrow, derive_zabs=True)
+                        tile_batch=256, loglam=llrow, derive_zabs=True)
     _ = float(np.asarray(res.ll[0]))
     infer_times = []
     for trial in range(2):
@@ -251,10 +251,27 @@ def main() -> None:
         _ = float(np.asarray(flux_s[0, 0]))
         t0 = time.perf_counter()
         res = fused_predict(infer_params, mu, flux_s, err_s, zq, None,
-                            tile_batch=512, loglam=llrow, derive_zabs=True)
+                            tile_batch=256, loglam=llrow, derive_zabs=True)
         _ = float(np.asarray(res.ll[-1]))
         infer_times.append(time.perf_counter() - t0)
     infer_rate = n_spectra / min(infer_times)
+
+    # stats-only OOD sweep: NLL + posterior only, 128 B/spectrum output
+    stage("ood sweep")
+    kw_ood = dict(tile_batch=512, stats_only=True, loglam=llrow,
+                  derive_zabs=True)
+    res = fused_predict(infer_params, mu, flux_s, err_s, zq, None, **kw_ood)
+    _ = float(np.asarray(res.ll[0]))
+    ood_times = []
+    for trial in range(2):
+        flux_s, err_s = sanitize(syn, 1.0 + 1e-7 * (trial + 3))
+        _ = float(np.asarray(flux_s[0, 0]))
+        t0 = time.perf_counter()
+        res = fused_predict(infer_params, mu, flux_s, err_s, zq, None,
+                            **kw_ood)
+        _ = float(np.asarray(res.ll[-1]))
+        ood_times.append(time.perf_counter() - t0)
+    ood_rate = n_spectra / min(ood_times)
 
     # ---- DESI scale (Npix=9243) on the Pallas trainer ---------------------
     stage("desi")
@@ -328,6 +345,7 @@ def main() -> None:
             "infer_engine": "fused single-launch Pallas prediction kernel",
             "infer_spectra_per_sec": round(infer_rate, 1),
             "infer_vs_baseline": round(infer_rate / INFER_BASELINE, 1),
+            "ood_sweep_spectra_per_sec": round(ood_rate, 1),
             "desi_npix": desi_grid.npix,
             "desi_train_spectra_per_sec": round(desi_rate, 1),
             "desi_gpixels_per_sec": round(desi_rate * desi_grid.npix / 1e9, 2),
