@@ -27,9 +27,18 @@ full = jax.jit(lambda s: s.to_batch(mu))(syn)
 data = ResidualDataset(delta=full.delta, error=full.error,
                        zabs=full.zabs, mask=full.mask)
 
-cfg = TrainConfig(n_epochs=500, batch_size=4096, learning_rate=1e-3,
-                  weight_decay=0.1, smooth_interval=5, save_interval=10**9,
-                  stop_on_negative_loss=True)
+# Convergence-friendly hyper-parameters: the reference defaults
+# (weight_decay=0.1 on every parameter + lr decay 0.9^(epoch/10) +
+# smoothing every 5 epochs) regularize so hard that training parks ~1%
+# into the init->truth NLL gap; with wd=0 and a flat lr the same engine
+# closes 100% of the gap in ~120 epochs (measured on the v5e).
+# smooth_interval must NOT divide n_epochs: the periodic avg-pool smoothing
+# (reference semantics) otherwise lands on the FINAL epoch and the returned
+# params are freshly pooled with no recovery epochs (~10 epochs re-converge
+# after each smooth).
+cfg = TrainConfig(n_epochs=500, batch_size=4096, learning_rate=1e-2,
+                  weight_decay=0.0, decay_alpha=1.0, smooth_interval=33,
+                  save_interval=10**9, stop_on_negative_loss=True)
 p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
 t0 = time.perf_counter()
 params, history = fit_pallas(p0, data, mu, cfg, key=jax.random.key(3),
@@ -48,5 +57,7 @@ batch = jax.jit(lambda s: s.to_batch(mu))(syn)
 loss_true = float(mean_nll(true, batch))
 loss_fit = float(mean_nll(params, batch))
 loss_init = float(mean_nll(p0, batch))
+gap = (loss_init - loss_fit) / (loss_init - loss_true) * 100
 print(f"mean NLL: init {loss_init:.2f}  fitted {loss_fit:.2f}  true-params {loss_true:.2f}")
-print(f"gap closed: {(loss_init-loss_fit)/(loss_init-loss_true)*100:.1f}%")
+print(f"gap closed: {gap:.1f}%")
+assert gap > 95.0, f"long-horizon training only closed {gap:.1f}% of the gap"
