@@ -18,6 +18,15 @@ pipeline on synthetic embeddings.
 
 from __future__ import annotations
 
+# allow running from a source checkout without installation
+try:  # noqa: SIM105
+    import qfa_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 
 import jax

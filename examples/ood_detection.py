@@ -17,6 +17,15 @@ Run: ``python examples/ood_detection.py`` (real TPU; pass
 
 from __future__ import annotations
 
+# allow running from a source checkout without installation
+try:  # noqa: SIM105
+    import qfa_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
 import argparse
 
 import jax

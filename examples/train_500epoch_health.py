@@ -6,6 +6,15 @@ synthetic SDSS-scale spectra, asserting every epoch loss and every final
 parameter stays finite, then measures how much of the init->true NLL gap
 the fit closes. Run from the repo root: ``python examples/train_500epoch_health.py``.
 """
+
+# allow running from a source checkout without installation
+try:  # noqa: SIM105
+    import qfa_tpu  # noqa: F401
+except ModuleNotFoundError:
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import time
 import jax, jax.numpy as jnp
 import numpy as np

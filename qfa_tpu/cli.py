@@ -92,10 +92,17 @@ def _load_training_data(cfg: ConfigNode, grid):
         prefix="train",
     )
     dataset = SpectraDataset.from_paths(paths, max_workers=cfg.DATA.NPROCS)
+    from .data.loader import compute_taus
+
+    taus = compute_taus(grid, dataset.zqso, tau_which=cfg.MODEL.TAU)
     mu = estimate_mu(
-        dataset, grid, tau_which=cfg.MODEL.TAU, window=cfg.TRAIN.WINDOW_LENGTH_FOR_MU
+        dataset, grid, tau_which=cfg.MODEL.TAU,
+        window=cfg.TRAIN.WINDOW_LENGTH_FOR_MU, taus=taus,
     )
-    residuals = make_residuals(dataset, grid, mu, tau_which=cfg.MODEL.TAU)
+    residuals = make_residuals(
+        dataset, grid, mu, tau_which=cfg.MODEL.TAU, taus=taus
+    )
+    del taus
 
     # Held-out validation (the reference concatenates these spectra into the
     # training arrays, /root/reference/QFA/dataloader.py:81-85; here they are

@@ -363,14 +363,19 @@ class Dataloader:
         self.zqso = self.dataset.zqso
         self.zabs = self.grid.zabs(self.zqso).astype(np.float32)
         self.data_size = self.dataset.size
+        from .data.loader import compute_taus
+
+        taus = compute_taus(self.grid, self.zqso, tau_which=self.tau_which)
         self._mu = estimate_mu(
             self.dataset,
             self.grid,
             tau_which=self.tau_which,
             window=config.TRAIN.WINDOW_LENGTH_FOR_MU,
+            taus=taus,
         )
         self._residuals = make_residuals(
-            self.dataset, self.grid, self._mu, tau_which=self.tau_which
+            self.dataset, self.grid, self._mu, tau_which=self.tau_which,
+            taus=taus,
         )
         self._order = np.arange(self.data_size)
         self.cur = 0

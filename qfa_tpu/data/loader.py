@@ -45,6 +45,7 @@ __all__ = [
     "read_spectrum",
     "read_spectra",
     "select_from_catalog",
+    "compute_taus",
     "estimate_mu",
     "make_residuals",
     "ResidualDataset",
@@ -186,6 +187,33 @@ class SpectraDataset(NamedTuple):
                    paths=tuple(paths), flux_ok=flux_ok)
 
 
+def compute_taus(
+    grid: WavelengthGrid,
+    zqso: np.ndarray,
+    *,
+    tau_which: str = "becker",
+    chunk: int = 32768,
+) -> np.ndarray:
+    """``tau_total`` over the blue grid for every spectrum, (N, Nb) float32.
+
+    Computed in ``chunk``-row pieces pulled straight back to host so the
+    accelerator never holds more than one chunk of temporaries — the
+    full-survey (N, Nb) evaluation used to OOM a 16 GB chip at exactly the
+    beyond-HBM scales the streaming path exists for. The result is shared
+    by :func:`estimate_mu` and :func:`make_residuals` (pass it as ``taus``)
+    instead of being recomputed by each.
+    """
+    n = len(zqso)
+    wav = jnp.asarray(grid.wav)
+    out = np.empty((n, grid.nb), np.float32)
+    for s in range(0, n, chunk):
+        z = jnp.asarray(np.asarray(zqso[s : s + chunk], np.float32))
+        out[s : s + len(z)] = np.asarray(
+            tau_total(wav, z, which=tau_which), np.float32
+        )
+    return out
+
+
 def estimate_mu(
     dataset: SpectraDataset,
     grid: WavelengthGrid,
@@ -193,6 +221,7 @@ def estimate_mu(
     tau_which: str = "becker",
     window: int = 16,
     compat_denominator: bool = True,
+    taus: np.ndarray | None = None,
 ) -> np.ndarray:
     """Data-driven mean continuum estimate.
 
@@ -208,8 +237,8 @@ def estimate_mu(
     ``False`` uses the actual mask count. Pixels observed nowhere yield 0
     instead of the reference's NaN.
     """
-    taus = np.asarray(tau_total(jnp.asarray(grid.wav), jnp.asarray(dataset.zqso),
-                                which=tau_which))
+    if taus is None:
+        taus = compute_taus(grid, dataset.zqso, tau_which=tau_which)
     deabsorb = np.concatenate(
         [np.exp(taus), np.ones((dataset.size, grid.nr), np.float32)], axis=1
     )
@@ -265,17 +294,18 @@ def make_residuals(
     *,
     tau_which: str = "becker",
     device_put=None,
+    taus: np.ndarray | None = None,
 ) -> ResidualDataset:
     """Compute the training residual field for the whole dataset at once.
 
     ``delta = flux - mu * exp(-tau_total(lambda, zqso))`` on the blue side,
     ``flux - mu`` on the red side (``/root/reference/QFA/dataloader.py:135``),
     masked pixels zeroed. ``device_put`` may be a function (e.g. a sharded
-    ``jax.device_put``) applied to each array.
+    ``jax.device_put``) applied to each array. ``taus`` (optional) reuses a
+    :func:`compute_taus` result instead of recomputing it.
     """
-    taus = np.asarray(
-        tau_total(jnp.asarray(grid.wav), jnp.asarray(dataset.zqso), which=tau_which)
-    )
+    if taus is None:
+        taus = compute_taus(grid, dataset.zqso, tau_which=tau_which)
     absorb = np.concatenate(
         [np.exp(-taus), np.ones((dataset.size, grid.nr), np.float32)], axis=1
     ).astype(np.float32)

@@ -44,10 +44,17 @@ def make_host_residuals(
     mu: np.ndarray,
     *,
     tau_which: str = "becker",
+    taus: np.ndarray | None = None,
 ) -> HostResiduals:
-    """Host-side variant of ``make_residuals`` (no device transfer)."""
+    """Host-side variant of ``make_residuals`` (no device transfer).
+
+    The tau evaluation runs chunked (``compute_taus``), so building the
+    host arrays never stages a full-survey temporary on the accelerator —
+    this path exists precisely for datasets bigger than device memory.
+    """
     res = make_residuals(
-        dataset, grid, mu, tau_which=tau_which, device_put=np.asarray
+        dataset, grid, mu, tau_which=tau_which, device_put=np.asarray,
+        taus=taus,
     )
     return HostResiduals(
         delta=np.asarray(res.delta),

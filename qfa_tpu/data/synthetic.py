@@ -114,7 +114,9 @@ def generate(
 
     if mask_frac > 0:
         span = max(int(mask_frac * npix), 1)
-        start = jax.random.randint(k_mask, (n, 1), 0, npix - span)
+        # maxval is exclusive: npix - span + 1 lets the chunk reach the red
+        # edge (and keeps the range non-empty when span == npix)
+        start = jax.random.randint(k_mask, (n, 1), 0, npix - span + 1)
         cols = jnp.arange(npix)[None, :]
         mask = ~((cols >= start) & (cols < start + span))
         mask = mask.astype(jnp.float32)

@@ -155,8 +155,11 @@ def fit_mdn(
 ) -> tuple[MDNParams, dict]:
     """Maximum-likelihood fit of the MDN; returns (params, fit_info).
 
-    ``fit_info`` carries the conditioning/output normalizers used at fit
-    time (apply the same transform before ``mdn_log_prob``/``mdn_sample``).
+    ``fit_info`` carries the CONDITIONING normalizers used at fit time
+    (``cond_mean``/``cond_std``; apply the same transform to ``cond``
+    before ``mdn_log_prob``/``mdn_sample``). The targets ``h`` are modeled
+    in their raw scale — standardize them yourself if they are far from
+    unit variance (the mixture scale head is bounded at ``exp(+-3)``).
     """
     cond = jnp.asarray(cond, jnp.float32)
     h = jnp.asarray(h, jnp.float32)

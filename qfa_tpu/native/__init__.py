@@ -24,6 +24,7 @@ _LIB = os.path.join(_DIR, "libqfa_native.so")
 _lock = threading.Lock()
 _lib: ctypes.CDLL | None = None
 _build_failed = False
+_build_error: str | None = None  #: first build/load failure, for diagnostics
 
 
 def build_library(force: bool = False) -> str:
@@ -65,8 +66,13 @@ def _load() -> ctypes.CDLL | None:
         ]
         _lib = lib
         return lib
-    except (subprocess.CalledProcessError, OSError):
+    except (subprocess.CalledProcessError, OSError) as e:
+        global _build_error
         _build_failed = True
+        # keep the compiler's own message: "no compiler?" is useless when
+        # g++ exists but compilation failed (missing zlib headers, ...)
+        detail = getattr(e, "stderr", None) or str(e)
+        _build_error = str(detail).strip()[-1000:]
         return None
 
 
@@ -86,7 +92,10 @@ def read_spectra_native(
     """
     lib = _load()
     if lib is None:
-        raise RuntimeError("native reader unavailable (no compiler?)")
+        raise RuntimeError(
+            "native reader unavailable"
+            + (f": {_build_error}" if _build_error else " (no compiler?)")
+        )
     n = len(paths)
     flux = np.empty((n, npix), np.float32)
     error = np.empty((n, npix), np.float32)

@@ -186,6 +186,12 @@ bool parse_npy(const std::vector<uint8_t>& npy, int& itemsize, size_t& count,
     header_len = rd16(&npy[8]);
     header_off = 10;
   } else {
+    // v2+ headers carry a 4-byte length at [8..12): a truncated 10-11
+    // byte payload must not reach rd32 (2-byte over-read)
+    if (npy.size() < 12) {
+      err = "truncated npy v2 header";
+      return false;
+    }
     header_len = rd32(&npy[8]);
     header_off = 12;
   }
@@ -303,9 +309,16 @@ void worker(Shared& sh) {
       record_err(sh, std::string(path) + ": " + err);
       continue;
     }
-    if (cf < static_cast<size_t>(sh.npix) || ce < static_cast<size_t>(sh.npix)
-        || cz < 1) {
-      record_err(sh, std::string(path) + ": arrays shorter than npix");
+    // strict grid check: longer arrays are just as wrong as shorter ones
+    // (silently truncating a 2000-px spectrum onto a 1913-px grid would
+    // train on misaligned flux; the Python engine fails loudly on ragged
+    // rows and this engine must match that contract)
+    if (cf != static_cast<size_t>(sh.npix)
+        || ce != static_cast<size_t>(sh.npix) || cz < 1) {
+      record_err(sh, std::string(path) + ": flux/error length " +
+                         std::to_string(cf) + "/" + std::to_string(ce) +
+                         " does not match the common grid npix=" +
+                         std::to_string(sh.npix));
       continue;
     }
     for (int p = 0; p < sh.npix; ++p) {

@@ -77,3 +77,16 @@ def test_native_reports_bad_container(survey, tmp_path):
         f.write(b"this is not a zip file at all, padding padding padding")
     with pytest.raises(IOError):
         native.read_spectra_native([bad], NPIX)
+
+
+@needs_native
+def test_native_rejects_wrong_grid_length(tmp_path):
+    """Arrays longer than npix must error (silent truncation would train
+    on misaligned flux), matching the Python engine's loud ragged-stack
+    failure; shorter arrays error too."""
+    for n_wrong in (NPIX + 17, NPIX - 3):
+        p = str(tmp_path / f"wrong_{n_wrong}.npz")
+        np.savez(p, flux=np.ones(n_wrong, np.float32),
+                 error=np.ones(n_wrong, np.float32), z=np.float32(2.5))
+        with pytest.raises(IOError, match="does not match the common grid"):
+            native.read_spectra_native([p], NPIX)
