@@ -189,11 +189,14 @@ def run_train(cfg: ConfigNode) -> None:
         params = initial_state.params
         # guard against silently restoring a stale/incompatible run from a
         # reused output dir: shape mismatches are an error, not a restore
-        if params.F.shape != (grid.npix, cfg.MODEL.NH):
+        # (omega's length catches a changed blue/red split at equal npix)
+        if (params.F.shape != (grid.npix, cfg.MODEL.NH)
+                or params.omega.shape[0] != grid.nb):
             raise ValueError(
                 f"auto-resume checkpoint {auto} has F shape "
-                f"{params.F.shape} but the current config wants "
-                f"({grid.npix}, {cfg.MODEL.NH}); delete the stale "
+                f"{params.F.shape} / omega length {params.omega.shape[0]} "
+                f"but the current config wants ({grid.npix}, "
+                f"{cfg.MODEL.NH}) / {grid.nb}; delete the stale "
                 "checkpoints/ in the output dir, change DATA.OUTPUT_DIR, "
                 "or set TRAIN.AUTO_RESUME False"
             )
@@ -226,8 +229,9 @@ def run_train(cfg: ConfigNode) -> None:
     engine = cfg.TRAIN.ENGINE
     use_pallas = False
     if mesh is None and engine in ("auto", "pallas"):
-        on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
-        if on_tpu:
+        from .utils import is_tpu
+
+        if is_tpu():
             use_pallas = True
         elif engine == "pallas":
             logger.warning(
@@ -319,8 +323,9 @@ def run_predict(cfg: ConfigNode) -> None:
     dataset = SpectraDataset.from_paths(paths, max_workers=cfg.DATA.NPROCS)
     params, mu = load_npz(cfg.MODEL.RESUME, compat_c0_bug=cfg.MODEL.COMPAT_C0_BUG)
 
-    on_tpu = jax.devices()[0].platform.lower() in ("tpu", "axon")
-    use_fused = cfg.TRAIN.ENGINE in ("auto", "pallas") and on_tpu
+    from .utils import is_tpu
+
+    use_fused = cfg.TRAIN.ENGINE in ("auto", "pallas") and is_tpu()
     t0 = time.time()
     if use_fused:
         logger.info("predict engine: fused single-launch Pallas kernel")

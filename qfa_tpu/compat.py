@@ -283,11 +283,22 @@ class QFA:
                     "epoch: {:03d}/{:03d}  ;  loss:  {:.2f}  ;  "
                     "time:  {:.2f} s ".format(epoch, n_epochs, loss, dt)
                 )
+        if engine not in ("auto", "pallas", "xla"):
+            raise ValueError(
+                f"unknown engine {engine!r}; expected auto, pallas or xla"
+            )
+        from .utils import is_tpu
+
         run = fit_fn
-        if engine == "pallas" or (
-            engine == "auto"
-            and jax.devices()[0].platform.lower() in ("tpu", "axon")
-        ):
+        if engine == "pallas" and not is_tpu():
+            import warnings
+
+            warnings.warn(
+                "engine='pallas' requested but no TPU is visible; "
+                "training with the XLA engine instead",
+                stacklevel=2,
+            )
+        elif engine == "pallas" or (engine == "auto" and is_tpu()):
             from .train import fit_pallas as run
         params, _history = run(
             self._params,

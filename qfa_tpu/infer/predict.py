@@ -108,17 +108,20 @@ def predict_dataset_fused(
     guarantees this). Returns host-side stacked results for all ``N``
     spectra.
     """
+    from ..ops.epoch_kernel import loglam_row, zq_column
     from ..ops.infer_kernel import fused_predict
-    from ..ops.epoch_kernel import loglam_row
 
     n = dataset.size
     flux_all = np.ascontiguousarray(dataset.flux, np.float32)
     error_all = np.ascontiguousarray(dataset.error, np.float32)
-    mask_all = np.ascontiguousarray(dataset.mask, np.float32)
-    zq_all = np.zeros((n, 128), np.float32)
-    zq_all[:, 0] = np.log1p(dataset.zqso.astype(np.float64))
+    derive_m = bool(np.all((dataset.error > 0.0) == dataset.mask))
+    # the (N, Npix) mask plane only materializes when it must ship
+    mask_all = (
+        None if derive_m else np.ascontiguousarray(dataset.mask, np.float32)
+    )
+    # single source of truth for the kernel's zq-column ABI
+    zq_all = np.asarray(zq_column(jnp.asarray(dataset.zqso, jnp.float32)))
     loglam = loglam_row(grid.wav)
-    derive_m = bool(np.all((error_all > 0.0) == (mask_all > 0.0)))
     chunk = max(tile_batch, chunk - chunk % tile_batch)
     outs = []
     for start, end in _batched(n, chunk):

@@ -166,27 +166,29 @@ def make_dp_epoch_fn(
                     interpret=interpret,
                 )
                 total = out.loss_sum
-                n_real = jnp.sum(batch.weight.astype(total.dtype))
+                batch_n_real = jnp.sum(batch.weight.astype(total.dtype))
                 grads, counts = out.grads, out.counts
             else:
-                total, n_real, grads, counts = summed_stats(
+                total, batch_n_real, grads, counts = summed_stats(
                     carry.params, batch, config.options
                 )
             # The one collective of the step: global sums over the data axis.
-            total, n_real, grads, counts = jax.lax.psum(
-                (total, n_real, grads, counts), axis
+            # (batch_n_real = real rows in THIS batch; the enclosing n_real
+            # parameter is the whole dataset's real row count.)
+            total, batch_n_real, grads, counts = jax.lax.psum(
+                (total, batch_n_real, grads, counts), axis
             )
             if config.reference_norm:
                 grads = normalize_with_counts(grads, counts)
             else:
                 grads = jax.tree.map(
-                    lambda g: g / jnp.maximum(n_real, 1.0), grads
+                    lambda g: g / jnp.maximum(batch_n_real, 1.0), grads
                 )
             new_params, new_opt = adam.apply_update(
                 carry.params, grads, carry.opt_state, adam_cfg
             )
             new_params = clip_params(new_params, config.bounds)
-            loss = total / jnp.maximum(n_real, 1.0)
+            loss = total / jnp.maximum(batch_n_real, 1.0)
             new_state = TrainState(new_params, new_opt)
             if config.reject_nonfinite:
                 from ..train.loop import guard_nonfinite

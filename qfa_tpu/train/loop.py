@@ -51,6 +51,7 @@ __all__ = [
     "make_pallas_step_fn",
     "make_sliced_epoch_fn",
     "make_step_fn",
+    "make_val_fn",
     "reshuffle_dataset",
     "guard_nonfinite",
 ]
@@ -191,6 +192,34 @@ def make_pallas_step_fn(
     return step_fn
 
 
+def make_val_fn(val_data: ResidualDataset | None, options) -> Callable | None:
+    """Held-out validation evaluator ``params -> mean NLL`` (or None).
+
+    The batch is a jit ARGUMENT, never a closed-over constant: on the
+    tunneled backend closed-over arrays are embedded in the remote-compile
+    request (HTTP 413 past ~100 MB). Shared by ``fit``, ``fit_streaming``
+    and ``fit_pallas``.
+    """
+    if val_data is None:
+        return None
+    from ..data.batch import SpectraBatch
+    from ..models.qfa import mean_nll
+
+    val_batch = SpectraBatch(
+        delta=val_data.delta,
+        error=val_data.error,
+        zabs=val_data.zabs,
+        mask=val_data.mask,
+        weight=jnp.ones((val_data.size,), val_data.delta.dtype),
+    )
+    _val_nll = jax.jit(lambda p, b: mean_nll(p, b, options))
+
+    def val_fn(p):
+        return _val_nll(p, val_batch)
+
+    return val_fn
+
+
 def fit_streaming(
     params: QFAParams,
     host_data,
@@ -233,25 +262,7 @@ def fit_streaming(
     history: list = []
     niter = max(host_data.size // config.batch_size, 1)
 
-    val_fn = None
-    if val_data is not None:
-        from ..data.batch import SpectraBatch
-        from ..models.qfa import mean_nll
-
-        # the batch is a jit ARGUMENT, never a closed-over constant: on
-        # the tunneled backend closed-over arrays are embedded in the
-        # remote-compile request (HTTP 413 past ~100 MB)
-        val_batch = SpectraBatch(
-            delta=val_data.delta,
-            error=val_data.error,
-            zabs=val_data.zabs,
-            mask=val_data.mask,
-            weight=jnp.ones((val_data.size,), val_data.delta.dtype),
-        )
-        _val_nll = jax.jit(lambda p, b: mean_nll(p, b, config.options))
-
-        def val_fn(p):
-            return _val_nll(p, val_batch)
+    val_fn = make_val_fn(val_data, config.options)
 
     def _save(state, ckpt):
         save_npz(
@@ -552,25 +563,7 @@ def fit(
         def run_epoch(state, sub):
             return train_epoch(state, data, sub, config, epoch_fn)
 
-    val_fn = None
-    if val_data is not None:
-        from ..data.batch import SpectraBatch
-        from ..models.qfa import mean_nll
-
-        # the batch is a jit ARGUMENT, never a closed-over constant: on
-        # the tunneled backend closed-over arrays are embedded in the
-        # remote-compile request (HTTP 413 past ~100 MB)
-        val_batch = SpectraBatch(
-            delta=val_data.delta,
-            error=val_data.error,
-            zabs=val_data.zabs,
-            mask=val_data.mask,
-            weight=jnp.ones((val_data.size,), val_data.delta.dtype),
-        )
-        _val_nll = jax.jit(lambda p, b: mean_nll(p, b, config.options))
-
-        def val_fn(p):
-            return _val_nll(p, val_batch)
+    val_fn = make_val_fn(val_data, config.options)
 
     def _save(state, ckpt):
         save_npz(

@@ -63,6 +63,7 @@ def make_pallas_epoch_fn(
     tile_batch: int,
     derive_mask: bool = False,
     loglam=None,
+    n_real: int | None = None,
     interpret: bool = False,
 ):
     """Jitted single-dispatch epoch: ``(state, data, key) -> (state, loss)``.
@@ -83,7 +84,8 @@ def make_pallas_epoch_fn(
     import numpy as np
 
     loglam_key = None if loglam is None else np.asarray(loglam).tobytes()
-    cache_key = (config, tile_batch, derive_mask, loglam_key, interpret)
+    cache_key = (config, tile_batch, derive_mask, loglam_key, n_real,
+                 interpret)
     fn = _EPOCH_FN_CACHE.get(cache_key)
     if fn is not None:
         return fn
@@ -126,9 +128,13 @@ def make_pallas_epoch_fn(
                 m=out.m, v=out.v, epoch=state.opt_state.epoch + 1
             ),
         )
-        # reference epoch-loss bookkeeping: sum of batch means / niter
+        # reference epoch-loss bookkeeping: sum of batch means over
+        # floor(N_real / B) (/root/reference/QFA/model.py:206-213) — the
+        # PADDED batch count would silently rescale the loss curve vs the
+        # XLA engine whenever the dataset is not a batch multiple
+        n_total = n if n_real is None else n_real
         batch_means = out.loss_sums / jnp.maximum(out.n_real, 1.0)
-        return new_state, jnp.sum(batch_means) / max(n // b, 1)
+        return new_state, jnp.sum(batch_means) / max(n_total // b, 1)
 
     _EPOCH_FN_CACHE[cache_key] = epoch_fn
     return epoch_fn
@@ -144,6 +150,7 @@ def pallas_train_epoch(
     interpret: bool = False,
     derive_mask: bool = False,
     loglam=None,
+    n_real: int | None = None,
 ) -> tuple[TrainState, float]:
     """One full training epoch in a single kernel launch.
 
@@ -164,7 +171,7 @@ def pallas_train_epoch(
         raise ValueError(f"batch {b} not a multiple of tile {tb}")
     epoch_fn = make_pallas_epoch_fn(
         config, tile_batch=tb, derive_mask=derive_mask, loglam=loglam,
-        interpret=interpret,
+        n_real=n_real, interpret=interpret,
     )
     state, loss = epoch_fn(state, data, key)
     return state, float(loss)
@@ -207,6 +214,7 @@ def fit_pallas(
         else TrainState(params, adam.init(params))
     )
     start_epoch = int(jax.device_get(state.opt_state.epoch))
+    n_real = data.size  # before inert-row padding: the loss divisor
     if data.size % config.batch_size:
         pad = config.batch_size - data.size % config.batch_size
         data = ResidualDataset(
@@ -221,25 +229,9 @@ def fit_pallas(
         )
     history: list = []
 
-    val_fn = None
-    if val_data is not None:
-        from ..data.batch import SpectraBatch
-        from ..models.qfa import mean_nll
+    from .loop import make_val_fn
 
-        # the batch is a jit ARGUMENT, never a closed-over constant: on
-        # the tunneled backend closed-over arrays are embedded in the
-        # remote-compile request (HTTP 413 past ~100 MB)
-        val_batch = SpectraBatch(
-            delta=val_data.delta,
-            error=val_data.error,
-            zabs=val_data.zabs,
-            mask=val_data.mask,
-            weight=jnp.ones((val_data.size,), val_data.delta.dtype),
-        )
-        _val_nll = jax.jit(lambda p, b: mean_nll(p, b, config.options))
-
-        def val_fn(p):
-            return _val_nll(p, val_batch)
+    val_fn = make_val_fn(val_data, config.options)
 
     def _save(state, ckpt):
         save_npz(
@@ -280,7 +272,8 @@ def fit_pallas(
         t0 = time.perf_counter()
         state, loss = pallas_train_epoch(
             state, data, sub, config, tile_batch=tile_batch,
-            derive_mask=derive_mask, loglam=loglam, interpret=interpret,
+            derive_mask=derive_mask, loglam=loglam, n_real=n_real,
+            interpret=interpret,
         )
         dt = time.perf_counter() - t0
         history.append(loss)

@@ -21,6 +21,14 @@ import numpy as np
 __all__ = ["trace", "timed", "tree_health", "enable_nan_debugging"]
 
 
+def is_tpu() -> bool:
+    """Whether the default JAX backend is a TPU (including the tunneled
+    dev platform, which reports itself as "axon"). The single source of
+    truth for engine auto-selection — CLI train/predict and the compat
+    facade all route through here."""
+    return jax.devices()[0].platform.lower() in ("tpu", "axon")
+
+
 @contextlib.contextmanager
 def trace(log_dir: str) -> Iterator[None]:
     """Capture a device profile viewable in TensorBoard/XProf."""

@@ -355,6 +355,36 @@ def test_epoch_kernel_nh8(problem):
                                float(st2.params.tau0), rtol=1e-4)
 
 
+def test_pallas_epoch_loss_divisor_uses_real_count(problem):
+    """With a padded (non-batch-multiple) dataset the epoch loss divides
+    by floor(N_real/B), matching the XLA engine and the reference
+    (/root/reference/QFA/model.py:206-213) — not the padded batch count."""
+    from qfa_tpu.train import fit_pallas  # noqa: F401  (engine import path)
+    from qfa_tpu.train.pallas_engine import make_pallas_epoch_fn
+
+    grid, nh, data = problem  # 64 rows
+    pad = 8  # pad to 72 = 3 batches of 24; floor(64/24) = 2
+    padded = ResidualDataset(
+        *(jnp.concatenate([leaf, jnp.zeros((pad,) + leaf.shape[1:],
+                                           leaf.dtype)]) for leaf in data)
+    )
+    p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+    cfg = TrainConfig(batch_size=24, learning_rate=1e-2, weight_decay=0.0)
+    kw = dict(tile_batch=8, interpret=True)
+    st = TrainState(p0, adam.init(p0))
+    _, loss_padded_count = make_pallas_epoch_fn(cfg, **kw)(
+        st, padded, jax.random.key(7)
+    )
+    st = TrainState(p0, adam.init(p0))
+    _, loss_real_count = make_pallas_epoch_fn(cfg, n_real=64, **kw)(
+        st, padded, jax.random.key(7)
+    )
+    # same sum of batch means, divisors 3 vs 2
+    assert float(loss_real_count) == pytest.approx(
+        1.5 * float(loss_padded_count), rel=1e-6
+    )
+
+
 def test_fit_pallas_resume_replays_reshuffles(problem, tmp_path):
     """Resume mid-run with reshuffle_interval>0 reproduces the
     uninterrupted trajectory (past permutations are replayed)."""
