@@ -145,6 +145,24 @@ def test_optimizer_shim_scheduler_introspection(survey, tmp_path, capsys):
     assert "epoch: 000/001" in out and "loss:" in out
 
 
+def test_train_engine_validation_and_cpu_fallback(survey, tmp_path):
+    """engine='pallas' on CPU falls back to the XLA trainer with a
+    warning (matching the CLI); unknown engines raise."""
+    import warnings
+
+    root, grid = survey
+    dl = Dataloader(make_cfg(root))
+    qfa = QFA(grid.nb, grid.nr, 3)
+    with pytest.raises(ValueError, match="unknown engine"):
+        qfa.train(dataloader=dl, n_epochs=1, engine="XLA",
+                  output_dir=str(tmp_path / "e1"), quiet=True)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        qfa.train(dataloader=dl, n_epochs=1, engine="pallas",
+                  output_dir=str(tmp_path / "e2"), quiet=True)
+    assert any("no TPU is visible" in str(w.message) for w in caught)
+
+
 def test_set_tau_and_set_device(survey):
     """Dataloader.set_tau/set_device parity
     (/root/reference/QFA/dataloader.py:169-179)."""

@@ -159,6 +159,31 @@ def test_predict_dataset_fused_matches_host_path(problem):
                                    rtol=1e-4, atol=1e-7)
 
 
+def test_predict_dataset_fused_unsanitized_mask(problem):
+    """When masked pixels carry error > 0 (mask not derivable from the
+    error plane), the chunked driver ships the mask plane and still
+    matches the host path."""
+    from qfa_tpu.data.loader import SpectraDataset
+    from qfa_tpu.infer import predict_dataset, predict_dataset_fused
+
+    grid, params, mu, syn = problem
+    m = np.asarray(syn.mask) > 0
+    ds = SpectraDataset(
+        flux=np.where(m, np.asarray(syn.flux), 0.0).astype(np.float32),
+        error=np.asarray(syn.error, np.float32),  # masked pixels keep error
+        mask=m,
+        zqso=np.asarray(syn.zqso, np.float32),
+        paths=(),
+    )
+    assert not bool(np.all((ds.error > 0.0) == ds.mask))
+    a = predict_dataset(params, mu, ds, grid, batch_size=8)
+    b = predict_dataset_fused(params, mu, ds, grid, chunk=16, tile_batch=8,
+                              interpret=True)
+    np.testing.assert_allclose(np.asarray(b.ll), np.asarray(a.ll), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(b.continuum),
+                               np.asarray(a.continuum), rtol=1e-4, atol=1e-5)
+
+
 def test_fused_predict_fully_masked_rows(problem):
     """Fully-masked rows are inert: ll = 0, n_obs = 0, posterior = prior."""
     grid, params, mu, syn = problem
