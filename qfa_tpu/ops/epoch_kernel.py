@@ -381,8 +381,9 @@ def _epoch_kernel(
         sa_t, wu_rows, (((1,), (0,)), ((), ())), **_HP
     )
 
-    dd = (-(dw_pix * w_row + du_pix * u_row + 0.5 * q_row) + 0.5 * m) / d_safe
-    dd = dd * m
+    # dinv = m / d_safe, so multiplying by it both divides and masks —
+    # one fewer per-pixel divide than (.../d_safe) * m
+    dd = (-(dw_pix * w_row + du_pix * u_row + 0.5 * q_row) + 0.5 * m) * dinv
     dzdep = dd * omega_row
     droot2 = dzdep * 2.0 * root * blue
     dtau_hi = droot2 * exp_neg
