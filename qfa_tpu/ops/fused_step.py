@@ -268,9 +268,9 @@ def _step_kernel(
     drhs_ref[...] += dot_hp(w_row.T, s_rows) + dot_hp(u_row.T, a_rows)
 
     # chain rule into the noise diagonal:
-    # dD = (-(dW*W + dU*U + 1/2 Q) + 1/2 m) / D
-    dd = (-(dw_pix * w_row + du_pix * u_row + 0.5 * q_row) + 0.5 * m) / d_safe
-    dd = dd * m  # masked pixels contribute nothing
+    # dD = (-(dW*W + dU*U + 1/2 Q) + 1/2 m) / D, masked pixels zero —
+    # dinv = m / d_safe performs both at once
+    dd = (-(dw_pix * w_row + du_pix * u_row + 0.5 * q_row) + 0.5 * m) * dinv
 
     dzdep = dd * omega_row
     droot2 = dzdep * 2.0 * root * blue
