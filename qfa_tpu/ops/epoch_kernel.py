@@ -172,11 +172,12 @@ def _epoch_kernel(
     scal0_ref,  # SMEM (1, 16) initial scalar state
     delta_ref,  # (TB, P)
     error_ref,  # (TB, P); masked pixels carry error == 0 (data layer)
-    zabs_ref,  # (TB, P) absorber redshifts (zeros on red/pad lanes)
+    zabs_ref,  # (TB, P) absorber redshifts (zeros on red/pad lanes), or
+    # the (TB, 128k) zq column (lane 0 = log1p(zqso)) when derive_zabs
     *rest,  # [mask_ref unless derive_mask], then:
     # ft0_ref (NH, P) initial F; mft0_ref; vft0_ref;
     # rows0_ref (8, P): psi, omega, m_psi, v_psi, m_omega, v_omega;
-    # blue_ref (1, P)
+    # blue_ref (1, P); [loglam_ref (1, P) when derive_zabs]
     # outputs:
     # loss_ref (n_batches, 128) per-batch [nll_sum, scalar_cnt, n_real];
     # ft_out_ref (NH, P); mft_out_ref; vft_out_ref; rows_out_ref (8, P);
@@ -542,9 +543,10 @@ def zq_column(zqso: Array, lanes: int = 128) -> Array:
 
     Returns an ``(N, lanes)`` float32 buffer whose lane 0 holds
     ``log1p(zqso)`` — everything the epoch kernel needs to rebuild the
-    per-pixel absorber redshifts in-kernel (512 B/spectrum instead of the
-    4*Npix-byte zabs plane: a ~15x cut in that array's HBM footprint and
-    stream traffic at SDSS scale).
+    per-pixel absorber redshifts ``zabs = (1+zqso) lam/lam_lya - 1``
+    (``/root/reference/QFA/dataloader.py:102``) in-kernel, in log form
+    (512 B/spectrum instead of the 4*Npix-byte zabs plane: a ~15x cut in
+    that array's HBM footprint and stream traffic at SDSS scale).
     """
     col = jnp.zeros((zqso.shape[0], lanes), jnp.float32)
     return col.at[:, 0].set(jnp.log1p(zqso.astype(jnp.float32)))
@@ -552,13 +554,35 @@ def zq_column(zqso: Array, lanes: int = 128) -> Array:
 
 def loglam_row(wav) -> Array:
     """Static ``log(lam / lam_lya)`` row for ``derive_zabs`` (float64 host
-    math, cast once; red-side values are present but gated off in-kernel)."""
+    math, cast once; red-side values are present but gated off in-kernel).
+    With :func:`zq_column`, ``log(1 + zabs) = log1p(zqso) + loglam`` — the
+    reference zabs relation ``/root/reference/QFA/dataloader.py:102`` as an
+    outer add.
+    """
     import numpy as np
 
     from ..data.grid import LYA_WAVELENGTH
 
     row = np.log(np.asarray(wav, np.float64) / LYA_WAVELENGTH)
     return jnp.asarray(row, jnp.float32)
+
+
+def _validate_zq(zabs: Array, loglam, n: int) -> None:
+    """Shared ABI guard for the ``derive_zabs`` mode of both kernels."""
+    if loglam is None:
+        raise ValueError("derive_zabs=True requires the loglam row")
+    if zabs.ndim != 2 or zabs.shape[1] % 128:
+        raise ValueError(
+            "derive_zabs=True expects the (N, 128k) zq_column buffer, "
+            f"got {zabs.shape}"
+        )
+    if zabs.shape[0] != n:
+        # Pallas clamps out-of-range block indices, so a short column
+        # would silently reuse the last tile's redshifts
+        raise ValueError(
+            f"zq column has {zabs.shape[0]} rows but the batch planes "
+            f"have {n}"
+        )
 
 
 @functools.partial(
@@ -600,8 +624,10 @@ def fused_train_epoch(
     Args:
         params, m, v: current parameters and Adam moments.
         delta/error/zabs: resident dataset, (N, ...) with N divisible by
-            ``tile_batch``; zabs is (N, Nb). Fully-masked rows act as
-            padding (they contribute nothing, including to ``n_real``).
+            ``tile_batch``; zabs is the (N, Nb) plane — or, with
+            ``derive_zabs=True``, the (N, 128k) :func:`zq_column` buffer.
+            Fully-masked rows act as padding (they contribute nothing,
+            including to ``n_real``).
         mask: optional (N, Npix). When omitted, the kernel derives ``mask
             = error > 0`` on the fly (valid because the data layer
             sanitizes masked pixels to ``error == 0`` and ``delta == 0``)
@@ -651,18 +677,18 @@ def fused_train_epoch(
     delta = pad_px(delta, p)
     error = pad_px(error, p)
     if derive_zabs:
-        if loglam is None:
-            raise ValueError("derive_zabs=True requires the loglam row")
-        if zabs.ndim != 2 or zabs.shape[1] % 128:
-            raise ValueError(
-                "derive_zabs=True expects the (N, 128k) zq_column buffer, "
-                f"got {zabs.shape}"
-            )
+        _validate_zq(zabs, loglam, n)
         zabs_p = zabs.astype(f32)
         loglam_p = jnp.zeros((1, p), f32).at[0, :npix].set(
             loglam.astype(f32)
         )
     else:
+        if zabs.shape[-1] not in (nb, npix, p):
+            raise ValueError(
+                f"zabs plane width {zabs.shape[-1]} matches neither Nb="
+                f"{nb} nor Npix={npix}; if this is a zq_column buffer, "
+                "pass derive_zabs=True (and loglam)"
+            )
         zabs_p = pad_px(zabs, p)
         loglam_p = None
     mask_p = pad_px(mask, p) if mask is not None else None

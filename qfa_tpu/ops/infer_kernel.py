@@ -68,7 +68,7 @@ def _predict_kernel(
     hyper_ref,  # SMEM (1, 8): law_a, law_b, law_c, tau0, c0, beta
     flux_ref,  # (TB, P)
     error_ref,  # (TB, P); masked pixels carry error == 0 unless mask given
-    zabs_ref,  # (TB, P)
+    zabs_ref,  # (TB, P), or the (TB, 128k) zq column when derive_zabs
     *rest,  # [mask_ref], mu_ref (1,P), rows_ref (4,P), rhst_ref (RC,P),
     # outputs: [cont_ref (TB,P), std_ref (TB,P) unless stats_only],
     #          stats_ref (TB,128)
@@ -269,15 +269,17 @@ def fused_predict(
     flux_p = pad_px(flux)
     error_p = pad_px(error)
     if derive_zabs:
-        if loglam is None:
-            raise ValueError("derive_zabs=True requires the loglam row")
-        if zabs.ndim != 2 or zabs.shape[1] % 128:
-            raise ValueError(
-                "derive_zabs=True expects the (N, 128k) zq_column buffer, "
-                f"got {zabs.shape}"
-            )
+        from .epoch_kernel import _validate_zq
+
+        _validate_zq(zabs, loglam, n)
         zabs_p = zabs.astype(f32)
     else:
+        if zabs.shape[-1] not in (nb, npix, p):
+            raise ValueError(
+                f"zabs plane width {zabs.shape[-1]} matches neither Nb="
+                f"{nb} nor Npix={npix}; if this is a zq_column buffer, "
+                "pass derive_zabs=True (and loglam)"
+            )
         zabs_p = pad_px(zabs)
     mask_p = pad_px(mask) if mask is not None else None
 
