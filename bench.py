@@ -246,7 +246,7 @@ def main() -> None:
                         tile_batch=256, loglam=llrow, derive_zabs=True)
     _ = float(np.asarray(res.ll[0]))
     infer_times = []
-    for trial in range(2):
+    for trial in range(3):
         flux_s, err_s = sanitize(syn, 1.0 + 1e-7 * (trial + 1))
         _ = float(np.asarray(flux_s[0, 0]))
         t0 = time.perf_counter()
@@ -263,7 +263,7 @@ def main() -> None:
     res = fused_predict(infer_params, mu, flux_s, err_s, zq, None, **kw_ood)
     _ = float(np.asarray(res.ll[0]))
     ood_times = []
-    for trial in range(2):
+    for trial in range(3):
         flux_s, err_s = sanitize(syn, 1.0 + 1e-7 * (trial + 3))
         _ = float(np.asarray(flux_s[0, 0]))
         t0 = time.perf_counter()
