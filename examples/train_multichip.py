@@ -46,6 +46,17 @@ from qfa_tpu.train import TrainConfig, TrainState, adam
 
 
 def main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument(
+        "--engine", choices=("xla", "pallas"), default="xla",
+        help="per-step compute engine inside the shard_map epoch: the XLA "
+             "autodiff path (default) or the fused per-step Pallas kernel "
+             "(interpret mode on CPU meshes)",
+    )
+    args = ap.parse_args()
+
     n_dev = jax.device_count()
     print(f"devices: {n_dev} x {jax.devices()[0].device_kind}")
 
@@ -73,7 +84,10 @@ def main() -> None:
         weight_decay=0.0, smooth_interval=1000, save_interval=1000,
         stop_on_negative_loss=False,
     )
-    epoch_fn = make_dp_epoch_fn(config, mesh)
+    epoch_fn = make_dp_epoch_fn(
+        config, mesh, engine=args.engine, tile_batch=64,
+        interpret=jax.devices()[0].platform == "cpu",
+    )
     params = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
     state = TrainState(params, adam.init(params))
 
