@@ -29,7 +29,7 @@ from .models import (
     smooth_params,
 )
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 __all__ = [
     "infer",

@@ -126,6 +126,18 @@ def test_residuals_zero_on_masked_and_match_formula(grid):
     np.testing.assert_allclose(d, expect.astype(np.float32), atol=2e-6)
 
 
+def test_compute_taus_chunking_invariant(grid):
+    """Chunked tau evaluation equals the single-shot result exactly."""
+    from qfa_tpu.data.loader import compute_taus
+
+    zqso = np.random.default_rng(3).uniform(2.0, 3.5, 37).astype(np.float32)
+    whole = compute_taus(grid, zqso, chunk=64)
+    for chunk in (1, 7, 36, 37):
+        np.testing.assert_array_equal(
+            compute_taus(grid, zqso, chunk=chunk), whole
+        )
+
+
 def test_batch_indices_cover_epoch():
     idx = batch_indices(jax.random.key(0), 100, 25)
     assert idx.shape == (4, 25)
