@@ -60,15 +60,20 @@ def make_problem(grid, nh, n, seed=0):
     from qfa_tpu.models import random_init
     from qfa_tpu.ops import zq_column
 
+    from qfa_tpu.ops.fused_step import _round_up
+
     params = random_init(jax.random.key(seed), grid.npix, grid.nb, nh)
     mu = jnp.ones((grid.npix,), jnp.float32)
     syn = jax.jit(
         lambda k: generate(k, params, mu, grid, n, mask_frac=0.1)
     )(jax.random.key(seed + 1))
     full = jax.jit(lambda s: s.to_batch(mu))(syn)
+    # pre-pad to the kernel lane width so the epoch jit never copies
+    p = _round_up(grid.npix, 128)
+    padpix = jax.jit(lambda x: jnp.pad(x, ((0, 0), (0, p - x.shape[1]))))
     data = ResidualDataset(
-        delta=full.delta, error=full.error, zabs=zq_column(syn.zqso),
-        mask=None,
+        delta=padpix(full.delta), error=padpix(full.error),
+        zabs=zq_column(syn.zqso), mask=None,
     )
     plane = ResidualDataset(
         delta=full.delta, error=full.error, zabs=full.zabs, mask=full.mask

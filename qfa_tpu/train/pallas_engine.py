@@ -215,6 +215,28 @@ def fit_pallas(
     )
     start_epoch = int(jax.device_get(state.opt_state.epoch))
     n_real = data.size  # before inert-row padding: the loss divisor
+
+    # Pad the pixel axis to the kernel's lane width ONCE: the kernel's
+    # own pad_px otherwise copies the full delta/error planes inside the
+    # epoch jit EVERY epoch (measured ~40% of the 65k-spectrum epoch).
+    from ..ops.fused_step import _round_up
+
+    p = _round_up(data.delta.shape[1], 128)
+
+    def padpix(x, skip=False):
+        if x is None or skip or (x.shape[1] == p and x.dtype == jnp.float32):
+            return x
+        return jnp.pad(
+            x.astype(jnp.float32), ((0, 0), (0, p - x.shape[1]))
+        )
+
+    data = ResidualDataset(
+        delta=padpix(data.delta),
+        error=padpix(data.error),
+        # the zq column (derive mode) keeps its own lane width
+        zabs=padpix(data.zabs, skip=loglam is not None),
+        mask=padpix(data.mask),
+    )
     if data.size % config.batch_size:
         pad = config.batch_size - data.size % config.batch_size
         data = ResidualDataset(
