@@ -221,6 +221,7 @@ def fit_pallas(
     # epoch jit EVERY epoch (measured ~40% of the 65k-spectrum epoch).
     from ..ops.fused_step import _round_up
 
+    caller_leaves = tuple(data)
     p = _round_up(data.delta.shape[1], 128)
 
     def padpix(x, skip=False):
@@ -233,9 +234,13 @@ def fit_pallas(
     data = ResidualDataset(
         delta=padpix(data.delta),
         error=padpix(data.error),
-        # the zq column (derive mode) keeps its own lane width
-        zabs=padpix(data.zabs, skip=loglam is not None),
-        mask=padpix(data.mask),
+        # 128-multiple widths are left alone: the zq column must reach the
+        # kernel unpadded so its ABI guard can still fire when loglam is
+        # missing (an already-padded plane needs no work either way)
+        zabs=padpix(data.zabs, skip=data.zabs.shape[1] % 128 == 0),
+        # the kernel never reads the mask in derive mode — drop it rather
+        # than keeping a full (N, P) float32 copy resident
+        mask=None if derive_mask else padpix(data.mask),
     )
     if data.size % config.batch_size:
         pad = config.batch_size - data.size % config.batch_size
@@ -270,7 +275,13 @@ def fit_pallas(
                 mu,
             )
 
-    owns_buffers = False  # after the first (copying) reshuffle we may donate
+    # Reshuffles may donate only when EVERY surviving leaf is a buffer this
+    # function created (pixel/row padding replaced it) — donating a leaf
+    # still shared with the caller would consume the caller's array.
+    owns_buffers = all(
+        new is None or all(new is not old for old in caller_leaves)
+        for new in data
+    )
     if reshuffle_interval and start_epoch:
         # Exact resume: replay the physical permutations the uninterrupted
         # run applied at earlier epochs (their keys depend only on the base

@@ -67,15 +67,41 @@ def test_schedule_matches_reference_rule():
 
 
 def test_epoch_counter_freezes_bias_correction_within_epoch():
-    """Two updates in the same epoch must use identical bias correction."""
+    """Updates within one epoch use identical bias correction (the
+    reference advances the correction/schedule counter once per EPOCH,
+    /root/reference/QFA/model.py:214-215) — verified against a numpy
+    restatement for two consecutive same-epoch updates and one after
+    next_epoch."""
+    lr, b1, b2, eps = 0.1, 0.9, 0.999, 1e-8
     p = {"x": jnp.ones((3,))}
     g = {"x": jnp.full((3,), 0.1)}
-    cfg = adam.AdamConfig(learning_rate=0.1, weight_decay=0.0)
+    cfg = adam.AdamConfig(learning_rate=lr, weight_decay=0.0, b1=b1, b2=b2,
+                          eps=eps, decay_alpha=1.0)
     s0 = adam.init(p)
     p1, s1 = adam.apply_update(p, g, s0, cfg)
     assert int(s1.epoch) == 0  # update does not advance the counter
-    s2 = adam.next_epoch(s1)
-    assert int(s2.epoch) == 1
+    p2, s2 = adam.apply_update(p1, g, s1, cfg)
+    assert int(s2.epoch) == 0
+
+    def np_update(pv, m, v, t):
+        gv = 0.1
+        m = b1 * m + (1 - b1) * gv
+        v = b2 * v + (1 - b2) * gv * gv
+        bc1, bc2 = 1 - b1 ** t, 1 - b2 ** t
+        return pv - lr * (m / bc1) / (np.sqrt(v / bc2) + eps), m, v
+
+    # both same-epoch updates use t = epoch+1 = 1
+    e1, m, v = np_update(1.0, 0.0, 0.0, t=1)
+    e2, m, v = np_update(e1, m, v, t=1)
+    np.testing.assert_allclose(np.asarray(p1["x"]), e1, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p2["x"]), e2, rtol=1e-5)
+
+    # after next_epoch the third update switches to t = 2
+    s3 = adam.next_epoch(s2)
+    assert int(s3.epoch) == 1
+    p3, _ = adam.apply_update(p2, g, s3, cfg)
+    e3, _, _ = np_update(e2, m, v, t=2)
+    np.testing.assert_allclose(np.asarray(p3["x"]), e3, rtol=1e-5)
 
 
 def test_as_optax_interop():

@@ -50,33 +50,45 @@ def test_masked_pixel_values_are_irrelevant(seed, frac):
 
 @settings(max_examples=15, deadline=None)
 @given(seed=st.integers(0, 10_000))
-def test_likelihood_decreases_with_more_information(seed):
-    """Adding observed pixels changes N log 2pi bookkeeping consistently:
-    the NLL of a superset mask equals subset NLL plus a finite positive-
-    definite contribution (no NaN, finite, and monotone pixel count)."""
+def test_independent_pixels_add_closed_form_nll(seed):
+    """Exact additivity check of the masked bookkeeping: pixels whose F
+    rows are zero (and which sit on the red side, so no omega/absorption)
+    are statistically independent of the rest — unmasking them must add
+    EXACTLY sum_i 1/2 (log 2pi d_i + delta_i^2/d_i) with d_i = Psi_i +
+    err_i^2. Pins the N log 2pi, sum log D and quad terms of the
+    fixed-shape masked likelihood independently of the dense reference."""
     rng = np.random.default_rng(seed)
-    mask_small = rng.uniform(size=GRID.npix) > 0.5
-    mask_big = mask_small | (rng.uniform(size=GRID.npix) > 0.5)
-    b_small = make_batch(rng, mask_small)
-    # same underlying data, bigger mask
-    delta_full = rng.normal(0, 0.4, GRID.npix).astype(np.float32)
-    err_full = rng.uniform(0.05, 0.3, GRID.npix).astype(np.float32)
+    # this test needs RED-side pixels (the module GRID is all blue)
+    grid = qfa_tpu.make_grid(1100.0, 1400.0, 1e-3)
+    base = random_init(jax.random.key(1), grid.npix, grid.nb, 3)
+    extra = rng.choice(np.arange(grid.nb + 2, grid.npix), 7, replace=False)
+    params = base._replace(F=base.F.at[jnp.asarray(extra), :].set(0.0))
+    mask_small = rng.uniform(size=grid.npix) > 0.4
+    mask_small[extra] = False
+    mask_big = mask_small.copy()
+    mask_big[extra] = True
+
+    delta_full = rng.normal(0, 0.4, grid.npix).astype(np.float32)
+    err_full = rng.uniform(0.05, 0.3, grid.npix).astype(np.float32)
 
     def with_mask(m):
         mf = m.astype(np.float32)
         return SpectraBatch(
             delta=jnp.asarray(delta_full * mf)[None],
             error=jnp.asarray(err_full * mf)[None],
-            zabs=jnp.asarray(GRID.zabs(np.array([2.6]))[0].astype(np.float32))[None],
+            zabs=jnp.asarray(grid.zabs(np.array([2.6]))[0].astype(np.float32))[None],
             mask=jnp.asarray(mf)[None],
             weight=jnp.ones((1,), jnp.float32),
         )
 
-    ll_small = float(batch_nll(PARAMS, with_mask(mask_small))[0])
-    ll_big = float(batch_nll(PARAMS, with_mask(mask_big))[0])
-    assert np.isfinite(ll_small) and np.isfinite(ll_big)
-    if mask_big.sum() > mask_small.sum():
-        assert ll_big != ll_small
+    ll_small = float(batch_nll(params, with_mask(mask_small))[0])
+    ll_big = float(batch_nll(params, with_mask(mask_big))[0])
+    d = np.asarray(params.Psi)[extra] + err_full[extra] ** 2
+    closed_form = 0.5 * np.sum(
+        np.log(2.0 * np.pi * d) + delta_full[extra] ** 2 / d
+    )
+    np.testing.assert_allclose(ll_big - ll_small, closed_form, rtol=2e-4,
+                               atol=2e-4)
 
 
 @settings(max_examples=15, deadline=None)

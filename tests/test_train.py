@@ -289,16 +289,32 @@ def test_tail_batch_equals_padded_step(problem):
 
 
 def test_fit_trains_tail_batch(problem):
-    """fit() on a non-multiple dataset must train (finite loss) and touch
-    every spectrum (the gradient of a pixel observed only in the tail rows
-    is nonzero)."""
+    """fit() on a non-multiple dataset trains the tail batch: a pixel
+    observed ONLY by the rows that land in epoch 0's (padded) tail batch
+    receives a nonzero gradient. Replicates fit's shuffle key to learn
+    which rows those are; with weight_decay=0, dropping the tail would
+    leave that pixel's Psi bitwise unchanged."""
+    from qfa_tpu.data.loader import epoch_indices
+
     grid, true, mu, syn, data = problem
     small = ResidualDataset(*(leaf[:40] for leaf in data))
-    cfg = TrainConfig(n_epochs=2, batch_size=16, learning_rate=1e-2,
+    key = jax.random.key(12)
+    ei = epoch_indices(jax.random.fold_in(key, 0), 40, 16)
+    idx, wt = np.asarray(ei.idx), np.asarray(ei.weight)
+    tail_rows = idx[-1][wt[-1] > 0]
+    assert 0 < len(tail_rows) < 16  # 40 % 16 = 8 real rows in the tail
+    j = 5
+    mask = np.array(small.mask)
+    mask[:, j] = 0.0
+    mask[tail_rows, j] = 1.0
+    small = small._replace(mask=jnp.asarray(mask))
+    cfg = TrainConfig(n_epochs=1, batch_size=16, learning_rate=1e-2,
                       weight_decay=0.0, smooth_interval=100)
     p0 = random_init(jax.random.key(11), grid.npix, grid.nb, 3)
-    params, history = fit(p0, small, mu, cfg, key=jax.random.key(12))
+    psi_j_before = float(p0.Psi[j])  # fit donates the state's buffers
+    params, history = fit(p0, small, mu, cfg, key=key)
     assert np.isfinite(history).all()
+    assert abs(float(params.Psi[j]) - psi_j_before) > 1e-7
 
 
 def test_dp_epoch_with_dataset_padding_rows():
