@@ -355,6 +355,32 @@ def test_epoch_kernel_nh8(problem):
                                float(st2.params.tau0), rtol=1e-4)
 
 
+def test_fit_pallas_zq_column_without_loglam_raises():
+    """A zq column passed without derive_zabs/loglam must fail loudly —
+    fit_pallas's pixel pre-pad must not widen it into a fake zabs plane
+    (regression: the pad once defeated the kernel's ABI guard). Uses the
+    SDSS grid: on tiny grids p == 128 and a column is indistinguishable
+    from a padded plane."""
+    from qfa_tpu.ops import zq_column
+    from qfa_tpu.train import fit_pallas
+
+    grid = qfa_tpu.make_grid()
+    assert grid.npix == 1913
+    p0 = random_init(jax.random.key(0), grid.npix, grid.nb, 4)
+    mu = jnp.ones((grid.npix,), jnp.float32)
+    data = ResidualDataset(
+        delta=jnp.zeros((8, grid.npix), jnp.float32),
+        error=jnp.ones((8, grid.npix), jnp.float32),
+        zabs=zq_column(jnp.full((8,), 2.5)),
+        mask=None,
+    )
+    cfg = TrainConfig(n_epochs=1, batch_size=8, smooth_interval=100,
+                      save_interval=100)
+    with pytest.raises(ValueError, match="derive_zabs"):
+        fit_pallas(p0, data, mu, cfg, derive_mask=True, tile_batch=8,
+                   interpret=True)
+
+
 def test_pallas_epoch_loss_divisor_uses_real_count(problem):
     """With a padded (non-batch-multiple) dataset the epoch loss divides
     by floor(N_real/B), matching the XLA engine and the reference
