@@ -166,7 +166,11 @@ def build_survey(grid, n, nh, seed=5):
     def make_chunk(key):
         kz, kd, ke = jax.random.split(key, 3)
         z = jax.random.uniform(kz, (chunk,), jnp.float32, 2.0, 3.5)
-        zq = jnp.zeros((chunk, 128), jnp.float32).at[:, 0].set(jnp.log1p(z))
+        zq = (
+            jnp.zeros((chunk, 128), jnp.float32)
+            .at[:, 0].set(jnp.log1p(z))
+            .at[:, 1].set(1.0)  # weight lane: every synthetic row is real
+        )
         delta = 0.4 * jax.random.normal(kd, (chunk, p), jnp.float32)
         error = jax.random.uniform(ke, (chunk, p), jnp.float32, 0.05, 0.3)
         live = (jnp.arange(p) < grid.npix).astype(jnp.float32)

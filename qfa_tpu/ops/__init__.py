@@ -1,6 +1,12 @@
 """Custom TPU ops: fused Pallas training step + whole-epoch trainer kernel."""
 
-from .epoch_kernel import EpochOutputs, fused_train_epoch, loglam_row, zq_column
+from .epoch_kernel import (
+    EpochOutputs,
+    ZQ_LANES,
+    fused_train_epoch,
+    loglam_row,
+    zq_column,
+)
 from .infer_kernel import FusedPredictOutputs, fused_predict
 from .fused_step import (
     TAU_LAW_ABC,
@@ -11,6 +17,7 @@ from .fused_step import (
 
 __all__ = [
     "EpochOutputs",
+    "ZQ_LANES",
     "fused_train_epoch",
     "loglam_row",
     "zq_column",

@@ -49,14 +49,16 @@ compositions (tests/test_epoch_kernel.py). Reference behavior covered:
 the training hot loop ``/root/reference/QFA/model.py:98-158`` plus the
 optimizer ``/root/reference/QFA/optimizer.py:37-69``.
 
-Known, documented divergences from the XLA path: (1) no per-step
-non-finite update rejection (``guard_nonfinite``) — parameter clipping
-bounds the trajectory instead; (2) ``n_real`` counts rows with >= 1
-observed pixel, while the XLA engine counts all weight-1 rows — a row
-that is real but FULLY masked is excluded here (it is indistinguishable
-from padding), which shifts the mean-normalized (``reference_norm=False``)
-divisor and the per-batch loss means when such rows exist. Rows with any
-observed pixel are identical between the engines.
+Known, documented divergences from the XLA path: (1) per-step non-finite
+update rejection (``guard_nonfinite``) is replaced by EPOCH-level
+rollback in ``fit_pallas`` — parameter clipping bounds the trajectory
+within the epoch; (2) in the production ``derive_zabs`` layout, ``n_real``
+counts weight-1 rows via the zq column's weight lane — identical to the
+XLA engine, including real-but-fully-masked rows. In the legacy PLANE
+layout there is no weight channel, so ``n_real`` counts rows with >= 1
+observed pixel: a real-but-fully-masked row is excluded (it is
+indistinguishable from padding), shifting per-batch loss means when such
+rows exist (pinned in tests/test_epoch_kernel.py).
 """
 
 from __future__ import annotations
@@ -76,7 +78,17 @@ Array = jnp.ndarray
 
 LOG_2PI = 1.8378770664093453
 
-__all__ = ["EpochOutputs", "fused_train_epoch", "zq_column", "loglam_row"]
+__all__ = [
+    "EpochOutputs",
+    "fused_train_epoch",
+    "zq_column",
+    "loglam_row",
+    "ZQ_LANES",
+]
+
+#: Fixed lane width of the ``derive_zabs`` zq-column ABI: lane 0 =
+#: ``log1p(zqso)``, lane 1 = row weight (1 real / 0 padding), rest zero.
+ZQ_LANES = 128
 
 
 class EpochOutputs(NamedTuple):
@@ -84,7 +96,9 @@ class EpochOutputs(NamedTuple):
     m: QFAParams  #: first Adam moments.
     v: QFAParams  #: second Adam moments.
     loss_sums: Array  #: (n_batches,) summed NLL per batch.
-    n_real: Array  #: (n_batches,) rows with >=1 observed pixel per batch.
+    #: (n_batches,) real rows per batch: weight-1 rows (zq weight lane)
+    #: with ``derive_zabs``, rows with >=1 observed pixel in plane mode.
+    n_real: Array
 
 
 # ---------------------------------------------------------------------------
@@ -339,7 +353,21 @@ def _epoch_kernel(
     )  # (3, 1)
     small_scr[0:1, 0:1] += sums3[0:1, :]
     small_scr[0:1, 1:2] += sums3[1:2, :]
-    small_scr[0:1, 2:3] += sums3[2:3, :]
+    if derive_zabs:
+        # n_real from the zq column's weight lane: real-but-fully-masked
+        # rows count toward the batch-mean divisor exactly as in the XLA
+        # engine (weight-1 rows), while fit_pallas's zero padding rows
+        # carry weight 0. One tiny (1, TB) @ (TB, 1) MXU dot.
+        wsum = jax.lax.dot_general(
+            zabs_ref[:, 1:2], ones_tb1, (((0,), (0,)), ((), ())), **_HP
+        )  # (1, 1)
+        small_scr[0:1, 2:3] += wsum
+    else:
+        # plane mode has no weight channel: rows with zero observed pixels
+        # are indistinguishable from padding and are NOT counted (the
+        # documented divergence from the XLA engine, pinned in
+        # tests/test_epoch_kernel.py)
+        small_scr[0:1, 2:3] += sums3[2:3, :]
 
     # analytic backward: S = 1/2 (K^-1 + alpha alpha^T), dW = -alpha.
     # S and the Gram block are both symmetric, so only the lower triangle
@@ -538,18 +566,29 @@ def _epoch_kernel(
             scal_out_ref[0, k] = 0.0
 
 
-def zq_column(zqso: Array, lanes: int = 128) -> Array:
+def zq_column(zqso: Array, weight: Array | None = None) -> Array:
     """Pack quasar redshifts into the kernel's ``derive_zabs`` column.
 
-    Returns an ``(N, lanes)`` float32 buffer whose lane 0 holds
+    Returns an ``(N, ZQ_LANES)`` float32 buffer whose lane 0 holds
     ``log1p(zqso)`` — everything the epoch kernel needs to rebuild the
     per-pixel absorber redshifts ``zabs = (1+zqso) lam/lam_lya - 1``
     (``/root/reference/QFA/dataloader.py:102``) in-kernel, in log form
     (512 B/spectrum instead of the 4*Npix-byte zabs plane: a ~15x cut in
     that array's HBM footprint and stream traffic at SDSS scale).
+
+    Lane 1 carries the per-row weight (default 1 for every row): the
+    epoch kernel's ``n_real`` counts weight-1 rows — matching the XLA
+    engine even for real-but-fully-masked spectra — while zero padding
+    rows (e.g. ``fit_pallas``'s batch-multiple padding) stay weight 0.
     """
-    col = jnp.zeros((zqso.shape[0], lanes), jnp.float32)
-    return col.at[:, 0].set(jnp.log1p(zqso.astype(jnp.float32)))
+    col = jnp.zeros((zqso.shape[0], ZQ_LANES), jnp.float32)
+    col = col.at[:, 0].set(jnp.log1p(zqso.astype(jnp.float32)))
+    w = (
+        jnp.ones((zqso.shape[0],), jnp.float32)
+        if weight is None
+        else weight.astype(jnp.float32)
+    )
+    return col.at[:, 1].set(w)
 
 
 def loglam_row(wav) -> Array:
@@ -571,10 +610,13 @@ def _validate_zq(zabs: Array, loglam, n: int) -> None:
     """Shared ABI guard for the ``derive_zabs`` mode of both kernels."""
     if loglam is None:
         raise ValueError("derive_zabs=True requires the loglam row")
-    if zabs.ndim != 2 or zabs.shape[1] % 128:
+    if zabs.ndim != 2 or zabs.shape[1] != ZQ_LANES:
+        # exact lane match: a genuine zabs PLANE whose width happens to be
+        # a 128-multiple must fail loudly here, not be misread as a column
+        # (pixel-0 zabs silently treated as log1p(zqso))
         raise ValueError(
-            "derive_zabs=True expects the (N, 128k) zq_column buffer, "
-            f"got {zabs.shape}"
+            f"derive_zabs=True expects the (N, {ZQ_LANES}) zq_column "
+            f"buffer, got {zabs.shape}"
         )
     if zabs.shape[0] != n:
         # Pallas clamps out-of-range block indices, so a short column
@@ -625,9 +667,10 @@ def fused_train_epoch(
         params, m, v: current parameters and Adam moments.
         delta/error/zabs: resident dataset, (N, ...) with N divisible by
             ``tile_batch``; zabs is the (N, Nb) plane — or, with
-            ``derive_zabs=True``, the (N, 128k) :func:`zq_column` buffer.
-            Fully-masked rows act as padding (they contribute nothing,
-            including to ``n_real``).
+            ``derive_zabs=True``, the (N, ZQ_LANES) :func:`zq_column`
+            buffer. In plane mode fully-masked rows act as padding (they
+            contribute nothing, including to ``n_real``); with
+            ``derive_zabs`` the zq weight lane decides ``n_real``.
         mask: optional (N, Npix). When omitted, the kernel derives ``mask
             = error > 0`` on the fly (valid because the data layer
             sanitizes masked pixels to ``error == 0`` and ``delta == 0``)

@@ -54,7 +54,13 @@ def pick_tile_batch(batch_size: int, npix: int, limit: int = 256) -> int:
     return tb
 
 
-_EPOCH_FN_CACHE: dict = {}
+#: Bounded LRU of jitted epoch functions: a long-lived process training
+#: across many dataset sizes/grids must not retain one compiled executable
+#: per distinct (config, loglam, n_real) forever (ADVICE r2).
+from collections import OrderedDict
+
+_EPOCH_FN_CACHE: OrderedDict = OrderedDict()
+_EPOCH_FN_CACHE_MAX = 8
 
 
 def make_pallas_epoch_fn(
@@ -88,6 +94,7 @@ def make_pallas_epoch_fn(
                  interpret)
     fn = _EPOCH_FN_CACHE.get(cache_key)
     if fn is not None:
+        _EPOCH_FN_CACHE.move_to_end(cache_key)
         return fn
     tb = tile_batch
     b = config.batch_size
@@ -137,6 +144,8 @@ def make_pallas_epoch_fn(
         return new_state, jnp.sum(batch_means) / max(n_total // b, 1)
 
     _EPOCH_FN_CACHE[cache_key] = epoch_fn
+    while len(_EPOCH_FN_CACHE) > _EPOCH_FN_CACHE_MAX:
+        _EPOCH_FN_CACHE.popitem(last=False)
     return epoch_fn
 
 
@@ -224,20 +233,32 @@ def fit_pallas(
     caller_leaves = tuple(data)
     p = _round_up(data.delta.shape[1], 128)
 
-    def padpix(x, skip=False):
-        if x is None or skip or (x.shape[1] == p and x.dtype == jnp.float32):
+    def padpix(x):
+        if x is None or (x.shape[1] == p and x.dtype == jnp.float32):
             return x
         return jnp.pad(
             x.astype(jnp.float32), ((0, 0), (0, p - x.shape[1]))
         )
 
+    # zabs pre-pad policy: in derive mode (loglam given) zabs is by
+    # contract the zq column — leave it verbatim for the kernel's ABI
+    # guard. In plane mode, pre-pad (a genuine plane whose width is a
+    # 128-multiple, e.g. Nb % 128 == 0, must not fall through to the
+    # kernel's in-jit pad_px, which re-copies the plane every epoch) —
+    # UNLESS the width equals ZQ_LANES while no plane axis is that wide:
+    # that buffer can only be a mistakenly-passed zq column, and padding
+    # it would widen it into a fake plane the kernel cannot reject.
+    from ..ops.epoch_kernel import ZQ_LANES
+
+    nb_ = state.params.omega.shape[0]
+    npix_ = state.params.F.shape[0]
+    keep_zabs = loglam is not None or (
+        data.zabs.shape[1] == ZQ_LANES and ZQ_LANES not in (nb_, npix_)
+    )
     data = ResidualDataset(
         delta=padpix(data.delta),
         error=padpix(data.error),
-        # 128-multiple widths are left alone: the zq column must reach the
-        # kernel unpadded so its ABI guard can still fire when loglam is
-        # missing (an already-padded plane needs no work either way)
-        zabs=padpix(data.zabs, skip=data.zabs.shape[1] % 128 == 0),
+        zabs=data.zabs if keep_zabs else padpix(data.zabs),
         # the kernel never reads the mask in derive mode — drop it rather
         # than keeping a full (N, P) float32 copy resident
         mask=None if derive_mask else padpix(data.mask),

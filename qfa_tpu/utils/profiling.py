@@ -18,7 +18,7 @@ from typing import Any, Iterator
 import jax
 import numpy as np
 
-__all__ = ["trace", "timed", "tree_health", "enable_nan_debugging"]
+__all__ = ["is_tpu", "trace", "timed", "tree_health", "enable_nan_debugging"]
 
 
 def is_tpu() -> bool:

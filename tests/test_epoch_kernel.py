@@ -455,3 +455,73 @@ def test_fit_pallas_reshuffle_keeps_caller_buffers(problem, tmp_path):
     assert np.isfinite(np.asarray(data.delta)).all()
     assert np.isfinite(np.asarray(data.zabs)).all()
     assert np.isfinite(history).all()
+
+
+def test_n_real_weight_lane_counts_fully_masked_rows():
+    """Engine n_real reconciliation (VERDICT r2 #7): in the production
+    derive_zabs layout the zq weight lane makes n_real count weight-1 rows
+    exactly like the XLA engine — including a real-but-fully-masked
+    spectrum — while the legacy plane layout's documented divergence
+    (such a row is indistinguishable from padding) is pinned here."""
+    from qfa_tpu.ops import loglam_row, zq_column
+
+    grid = qfa_tpu.make_grid(1030.0, 1090.0, 1e-3)
+    nh = 4
+    true = random_init(jax.random.key(0), grid.npix, grid.nb, nh)
+    mu = jnp.full((grid.npix,), 1.1, jnp.float32)
+    syn = generate(jax.random.key(1), true, mu, grid, 64, mask_frac=0.15)
+    b = syn.to_batch(mu)
+    # fully mask row 5: a real spectrum with zero observed pixels
+    kill = jnp.ones((64, 1), jnp.float32).at[5].set(0.0)
+    delta, error, mask = b.delta * kill, b.error * kill, b.mask * kill
+    perm = jnp.arange(8)
+    p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+    st = TrainState(p0, adam.init(p0))
+    kw = dict(epoch=jnp.asarray(0, jnp.int32), n_batches=2, tile_batch=8,
+              learning_rate=1e-2, weight_decay=0.01, interpret=True)
+    out_plane = fused_train_epoch(
+        st.params, st.opt_state.m, st.opt_state.v,
+        delta, error, b.zabs, perm, mask, **kw,
+    )
+    # plane mode: the fully-masked row is indistinguishable from padding
+    assert float(jnp.sum(out_plane.n_real)) == 63
+    out_col = fused_train_epoch(
+        st.params, st.opt_state.m, st.opt_state.v,
+        delta, error, zq_column(syn.zqso), perm, mask,
+        loglam=loglam_row(grid.wav), derive_zabs=True, **kw,
+    )
+    # derive mode: the weight lane counts it, like the XLA engine
+    assert float(jnp.sum(out_col.n_real)) == 64
+
+    cfg = TrainConfig(batch_size=32, learning_rate=1e-2, weight_decay=0.01,
+                      reject_nonfinite=False)
+    rows = jnp.arange(64).reshape(8, 8)[perm].reshape(2, 32)
+    data2 = ResidualDataset(delta=delta, error=error, zabs=b.zabs, mask=mask)
+    st2 = TrainState(st.params, st.opt_state)
+    _, loss_xla = make_epoch_fn(cfg)(st2, data2, rows)
+    col_loss = float(
+        jnp.sum(out_col.loss_sums / jnp.maximum(out_col.n_real, 1.0)) / 2
+    )
+    assert col_loss == pytest.approx(float(loss_xla), rel=1e-5)
+    # pinned divergence: plane mode divides that batch by 31, not 32
+    plane_loss = float(
+        jnp.sum(out_plane.loss_sums / jnp.maximum(out_plane.n_real, 1.0)) / 2
+    )
+    assert plane_loss != pytest.approx(float(loss_xla), rel=1e-6)
+    # the weight lane only changes bookkeeping, never the updates
+    for a, c in zip(jax.tree.leaves(out_plane.params),
+                    jax.tree.leaves(out_col.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), rtol=5e-4,
+                                   atol=1e-5)
+
+
+def test_derive_zabs_rejects_zabs_plane():
+    """A genuine zabs PLANE passed with derive_zabs=True must fail loudly
+    in the tightened ABI guard (ADVICE r2), even when its width is a
+    128-multiple — not be silently misread as a zq column."""
+    from qfa_tpu.ops import loglam_row
+    from qfa_tpu.ops.epoch_kernel import _validate_zq
+
+    plane = jnp.zeros((8, 256), jnp.float32)  # 128-multiple, not a column
+    with pytest.raises(ValueError, match="zq_column"):
+        _validate_zq(plane, loglam_row(jnp.linspace(1040.0, 1100.0, 256)), 8)
