@@ -24,6 +24,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..data.loader import ResidualDataset
 from ..models.params import QFAParams, save_npz, smooth_params
@@ -87,8 +88,6 @@ def make_pallas_epoch_fn(
     ``(N, 128)`` :func:`qfa_tpu.ops.zq_column` buffer instead of the
     ``(N, Npix)`` zabs plane (a ~15x footprint/traffic cut for that array).
     """
-    import numpy as np
-
     loglam_key = None if loglam is None else np.asarray(loglam).tobytes()
     cache_key = (config, tile_batch, derive_mask, loglam_key, n_real,
                  interpret)
@@ -324,6 +323,7 @@ def fit_pallas(
             )
             owns_buffers = True
         t0 = time.perf_counter()
+        prev_state = state  # rollback anchor (the epoch fn does not donate)
         state, loss = pallas_train_epoch(
             state, data, sub, config, tile_batch=tile_batch,
             derive_mask=derive_mask, loglam=loglam, n_real=n_real,
@@ -331,6 +331,30 @@ def fit_pallas(
         )
         dt = time.perf_counter() - t0
         history.append(loss)
+        if config.reject_nonfinite and not np.isfinite(loss):
+            # Epoch-granular guard_nonfinite (the in-kernel optimizer has
+            # no per-step rejection): a poisoned epoch must not corrupt
+            # parameters, Adam moments, or any later checkpoint. Roll back
+            # params + moments to the pre-epoch state; keep the advanced
+            # epoch counter so the schedule/trajectory bookkeeping matches
+            # the XLA engines' "rejected step still counts" semantics.
+            state = TrainState(
+                prev_state.params,
+                adam.AdamState(
+                    m=prev_state.opt_state.m,
+                    v=prev_state.opt_state.v,
+                    epoch=state.opt_state.epoch,
+                ),
+            )
+            if logger is not None:
+                logger.warning(
+                    "epoch %03d produced non-finite loss %s: update "
+                    "rejected, parameters and moments rolled back",
+                    epoch, loss,
+                )
+            if metrics_cb is not None:
+                metrics_cb(epoch, loss, dt)
+            continue
         val_loss = None if val_fn is None else float(val_fn(state.params))
         if logger is not None:
             msg = (

@@ -525,3 +525,44 @@ def test_derive_zabs_rejects_zabs_plane():
     plane = jnp.zeros((8, 256), jnp.float32)  # 128-multiple, not a column
     with pytest.raises(ValueError, match="zq_column"):
         _validate_zq(plane, loglam_row(jnp.linspace(1040.0, 1100.0, 256)), 8)
+
+
+def test_fit_pallas_rejects_nonfinite_epoch(problem, caplog):
+    """A poisoned epoch (inf in the data) must leave the state untouched
+    and the run alive on the production engine — epoch-granular
+    guard_nonfinite semantics (train/loop.py:60-73)."""
+    import logging
+
+    from qfa_tpu.train import fit_pallas
+
+    grid, nh, data = problem
+    mu = jnp.full((grid.npix,), 1.1, jnp.float32)
+    poisoned = ResidualDataset(
+        delta=data.delta.at[3, 10].set(jnp.inf),
+        error=data.error, zabs=data.zabs, mask=data.mask,
+    )
+    cfg = TrainConfig(n_epochs=2, batch_size=32, learning_rate=1e-2,
+                      weight_decay=0.0, smooth_interval=1, save_interval=100)
+    p0 = random_init(jax.random.key(5), grid.npix, grid.nb, nh)
+    logger = logging.getLogger("test_nonfinite_epoch")
+    with caplog.at_level(logging.WARNING, logger=logger.name):
+        params, history = fit_pallas(
+            p0, poisoned, mu, cfg, key=jax.random.key(6), tile_batch=8,
+            logger=logger, interpret=True,
+        )
+    assert len(history) == 2 and not np.isfinite(history).any()
+    # every epoch was rejected: parameters identical to the init
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    rejects = [r for r in caplog.records if "rolled back" in r.message]
+    assert len(rejects) == 2
+
+    # reject_nonfinite=False preserves the old train-through behavior
+    cfg_off = cfg.__class__(**{**cfg.__dict__, "reject_nonfinite": False})
+    params_off, hist_off = fit_pallas(
+        p0, poisoned, mu, cfg_off, key=jax.random.key(6), tile_batch=8,
+        interpret=True,
+    )
+    assert not np.isfinite(np.asarray(params_off.Psi)).all() or not np.isfinite(
+        hist_off
+    ).all()
