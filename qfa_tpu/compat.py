@@ -113,14 +113,22 @@ class QFA:
         Nr: int,
         Nh: int,
         device=None,
-        tau: str = "becker",
+        tau="becker",
         model_params: Optional[Dict[str, np.ndarray]] = None,
         seed: int = 0,
     ) -> None:
         self.Nb, self.Nr, self.Nh = Nb, Nr, Nh
         self.Npix = Nb + Nr
         self.Nparams = params_mod.num_params(self.Npix, Nb, Nh)
-        self.tau_which = tau if isinstance(tau, str) else "becker"
+        # The reference constructor takes tau as a CALLABLE built by
+        # partial(tau, which=config.MODEL.TAU) (/root/reference/main.py:87,
+        # /root/reference/QFA/model.py:26-33). resolve_tau recovers the law
+        # name from that idiom (or a plain name / law function); an opaque
+        # callable is kept verbatim and traced exactly by the XLA paths —
+        # never silently substituted (the Pallas engine then refuses it).
+        from .physics.tau import resolve_tau
+
+        self.tau_which = resolve_tau(tau)
         self._options = qfa_mod.ModelOptions(tau_which=self.tau_which)
         self._seed = seed
         self.mu = None
@@ -289,6 +297,16 @@ class QFA:
             )
         from .utils import is_tpu
 
+        opaque_tau = callable(self.tau_which)
+        if opaque_tau and engine == "pallas":
+            # fail loudly rather than train the wrong optical-depth law:
+            # the Pallas kernels hard-code the named power-law family
+            raise ValueError(
+                "engine='pallas' requires a named tau law; this model was "
+                "constructed with an opaque tau callable — use "
+                "engine='xla', or pass tau=partial(tau, which='<law>') so "
+                "the law name can be recovered"
+            )
         run = fit_fn
         if engine == "pallas" and not is_tpu():
             import warnings
@@ -298,7 +316,9 @@ class QFA:
                 "training with the XLA engine instead",
                 stacklevel=2,
             )
-        elif engine == "pallas" or (engine == "auto" and is_tpu()):
+        elif engine == "pallas" or (
+            engine == "auto" and is_tpu() and not opaque_tau
+        ):
             from .train import fit_pallas as run
         params, _history = run(
             self._params,

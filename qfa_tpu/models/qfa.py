@@ -19,7 +19,7 @@ normalization (:func:`normalize_grads`).
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -52,9 +52,19 @@ __all__ = [
 
 
 class ModelOptions(NamedTuple):
-    """Static model configuration (hashable — safe as a jit static arg)."""
+    """Static model configuration (hashable — safe as a jit static arg).
 
-    tau_which: str = "becker"  #: mean-optical-depth law for the amplitude A.
+    ``tau_which`` is a law name or an arbitrary callable ``tau(z)`` (the
+    reference constructor form, ``/root/reference/QFA/model.py:26-33``;
+    normalize user input with :func:`qfa_tpu.physics.tau.resolve_tau`).
+    A callable is traced exactly by every XLA path; the Pallas power-law
+    kernels require a name and reject callables loudly. NOTE: callables
+    hash by identity — reuse one ``ModelOptions`` instance to avoid
+    recompilation.
+    """
+
+    #: mean-optical-depth law for the amplitude A: name or callable.
+    tau_which: str | Callable = "becker"
     precision: lax.Precision = lax.Precision.HIGHEST
 
 
@@ -68,14 +78,21 @@ class PredictResult(NamedTuple):
     continuum_std: Array  #: (B, Npix) predictive std sqrt(diag(F hcov F^T)).
 
 
-def absorption(zabs: Array, nr: int, tau_which: str = "becker") -> Array:
+def absorption(
+    zabs: Array, nr: int, tau_which: str | Callable = "becker"
+) -> Array:
     """Per-pixel absorption amplitude ``A = [exp(-tau_lya(zabs)), 1...]``.
 
     Blue-side pixels are attenuated by the Ly-alpha mean optical depth at
     their absorber redshift; red-side pixels pass through
+    (``/root/reference/QFA/model.py:125``). ``tau_which`` may be a law name
+    or a callable ``tau(z)`` exactly like the reference's ``self.tau``
     (``/root/reference/QFA/model.py:125``). Shape (..., Nb + nr).
     """
-    a_blue = jnp.exp(-tau_line(zabs, which=tau_which, series=1))
+    if callable(tau_which):
+        a_blue = jnp.exp(-jnp.asarray(tau_which(zabs)))
+    else:
+        a_blue = jnp.exp(-tau_line(zabs, which=tau_which, series=1))
     ones = jnp.ones(zabs.shape[:-1] + (nr,), dtype=a_blue.dtype)
     return jnp.concatenate([a_blue, ones], axis=-1)
 

@@ -72,7 +72,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.params import ParamBounds, QFAParams
-from .fused_step import TAU_LAW_ABC, _round_up
+from .fused_step import _round_up, tau_law_abc
 
 Array = jnp.ndarray
 
@@ -763,7 +763,7 @@ def fused_train_epoch(
     lr = learning_rate * decay_alpha ** ((epoch + 1) // decay_step)
     bc1 = 1.0 - b1**t
     bc2 = 1.0 - b2**t
-    law_a, law_b, law_c = TAU_LAW_ABC[tau_which]
+    law_a, law_b, law_c = tau_law_abc(tau_which)
     hyper_list = [0.0] * 24
     hyper_list[H_LAW_A], hyper_list[H_LAW_B], hyper_list[H_LAW_C] = (
         law_a, law_b, law_c,

@@ -66,7 +66,36 @@ TAU_LAW_ABC = {
     "mock": (0.2231435513142097 / 3.25**3.2, 3.2, 0.0),
 }
 
-__all__ = ["TAU_LAW_ABC", "FusedStepOutputs", "fused_loss_grads", "finish_f_gradient"]
+__all__ = [
+    "TAU_LAW_ABC",
+    "tau_law_abc",
+    "FusedStepOutputs",
+    "fused_loss_grads",
+    "finish_f_gradient",
+]
+
+
+def tau_law_abc(tau_which) -> tuple[float, float, float]:
+    """Power-law coefficients for a NAMED tau law — the Pallas kernels
+    hard-code the family ``a (1+z)^b + c``, so an arbitrary tau callable
+    (accepted by the XLA paths, ``/root/reference/QFA/model.py:26-33``)
+    must fail loudly here instead of silently training the wrong law."""
+    if not isinstance(tau_which, str):
+        raise ValueError(
+            "the Pallas kernels support only the named mean-optical-depth "
+            f"laws {sorted(TAU_LAW_ABC)} (power-law form a(1+z)^b + c); "
+            f"got {tau_which!r} — use the XLA engine "
+            "(models.qfa / train.fit) for arbitrary tau callables, or "
+            "pass tau=partial(tau, which='<law>') so the law name can be "
+            "recovered (physics.tau.resolve_tau)"
+        )
+    try:
+        return TAU_LAW_ABC[tau_which]
+    except KeyError:
+        raise NotImplementedError(
+            f"unknown mean optical depth law {tau_which!r}; "
+            f"available: {sorted(TAU_LAW_ABC)}"
+        ) from None
 
 
 class FusedStepOutputs(NamedTuple):
@@ -346,7 +375,7 @@ def fused_loss_grads(
     rhs = jnp.pad(rhs, ((0, p - npix), (0, rc - rhs.shape[1])))
     rhs_t = rhs.T
 
-    law_a, law_b, law_c = TAU_LAW_ABC[tau_which]
+    law_a, law_b, law_c = tau_law_abc(tau_which)
     scalars = jnp.array(
         [[params.tau0, params.c0, params.beta, law_a, law_b, law_c, 0.0, 0.0]],
         f32,

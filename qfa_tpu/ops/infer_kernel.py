@@ -42,7 +42,7 @@ from .epoch_kernel import (
     _tri_idx,
     _tri_pairs,
 )
-from .fused_step import TAU_LAW_ABC, _round_up
+from .fused_step import _round_up, tau_law_abc
 
 Array = jnp.ndarray
 
@@ -306,7 +306,7 @@ def fused_predict(
          jnp.zeros((rc - ntri - nh - 1, p), f32)]
     )
 
-    law_a, law_b, law_c = TAU_LAW_ABC[tau_which]
+    law_a, law_b, law_c = tau_law_abc(tau_which)
     hyper = jnp.stack(
         [jnp.asarray(law_a, f32), jnp.asarray(law_b, f32),
          jnp.asarray(law_c, f32), params.tau0.astype(f32),

@@ -20,6 +20,7 @@ All functions accept and return ``jnp`` arrays and are safe to ``vmap``/
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax.numpy as jnp
@@ -40,6 +41,7 @@ __all__ = [
     "omega_func",
     "TAU_LAWS",
     "get_tau_law",
+    "resolve_tau",
 ]
 
 
@@ -83,6 +85,43 @@ def get_tau_law(which: str) -> Callable[[Array], Array]:
             f"unknown mean optical depth law {which!r}; "
             f"available: {sorted(TAU_LAWS)}"
         ) from None
+
+
+def resolve_tau(tau_spec) -> str | Callable[[Array], Array]:
+    """Normalize a mean-optical-depth spec to a law NAME where possible.
+
+    The reference model constructor takes ``tau: Callable``, built by the
+    driver as ``partial(tau, which=config.MODEL.TAU)``
+    (``/root/reference/QFA/model.py:26-33``, ``/root/reference/main.py:87``).
+    This helper lets every entry point accept either form:
+
+    * a law name (``"becker"``/``"fg"``/``"kamble"``/``"mock"``) — validated
+      and returned as-is;
+    * a ``functools.partial`` carrying a ``which=`` keyword (the reference
+      idiom) — resolved to that name, so ported code keeps its law AND the
+      Pallas fast paths;
+    * one of the law functions themselves (:data:`TAU_LAWS` values) —
+      resolved to its name;
+    * any other callable ``tau(z) -> tau`` — returned verbatim: the XLA
+      paths trace it exactly; the Pallas power-law kernels reject it
+      loudly (``ops.fused_step.tau_law_abc``).
+    """
+    if isinstance(tau_spec, str):
+        get_tau_law(tau_spec)  # validate the name
+        return tau_spec
+    if isinstance(tau_spec, functools.partial):
+        which = tau_spec.keywords.get("which")
+        if isinstance(which, str):
+            get_tau_law(which)
+            return which
+    for name, fn in TAU_LAWS.items():
+        if tau_spec is fn:
+            return name
+    if callable(tau_spec):
+        return tau_spec
+    raise TypeError(
+        f"tau must be a law name or a callable tau(z); got {tau_spec!r}"
+    )
 
 
 def tau(z: Array, which: str = "becker", series: int = 1) -> Array:

@@ -133,3 +133,25 @@ def test_sliding_mean_2d_axis():
 def test_sliding_mean_rejects_even_window():
     with pytest.raises(ValueError):
         sliding_mean(jnp.ones(10), 4)
+
+
+def test_resolve_tau_forms():
+    """resolve_tau recovers law names from every reference-style spec
+    (/root/reference/QFA/model.py:26-33, main.py:87) and passes opaque
+    callables through."""
+    from functools import partial
+
+    from qfa_tpu.physics.tau import resolve_tau, tau, tau_fg
+
+    assert resolve_tau("kamble") == "kamble"
+    assert resolve_tau(partial(tau, which="fg")) == "fg"
+    assert resolve_tau(partial(tau, which="mock", series=1)) == "mock"
+    assert resolve_tau(tau_fg) == "fg"
+    f = lambda z: z  # noqa: E731
+    assert resolve_tau(f) is f
+    with pytest.raises(NotImplementedError):
+        resolve_tau("nope")
+    with pytest.raises(NotImplementedError):
+        resolve_tau(partial(tau, which="nope"))
+    with pytest.raises(TypeError):
+        resolve_tau(123)
