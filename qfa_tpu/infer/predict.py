@@ -92,11 +92,15 @@ def predict_dataset_fused(
     grid: WavelengthGrid,
     *,
     chunk: int = 8192,
-    tile_batch: int = 256,
+    tile_batch: int | None = None,
     options: ModelOptions = ModelOptions(),
     interpret: bool = False,
 ) -> PredictResult:
     """Predict a host dataset through the single-launch Pallas kernel.
+
+    ``tile_batch=None`` picks the npix-aware VMEM-safe tile
+    (``ops.infer_kernel.default_tile_batch``): 256 at SDSS width, 64 on
+    DESI-scale grids — a fixed 256 would fail to compile at Npix ~ 9.3k.
 
     One kernel launch per ``chunk`` spectra (the tail chunk is padded with
     inert zero rows); the production TPU path of :func:`predict_dataset`
@@ -109,8 +113,10 @@ def predict_dataset_fused(
     spectra.
     """
     from ..ops.epoch_kernel import loglam_row, zq_column
-    from ..ops.infer_kernel import fused_predict
+    from ..ops.infer_kernel import default_tile_batch, fused_predict
 
+    if tile_batch is None:
+        tile_batch = default_tile_batch(grid.npix)
     n = dataset.size
     flux_all = np.ascontiguousarray(dataset.flux, np.float32)
     error_all = np.ascontiguousarray(dataset.error, np.float32)

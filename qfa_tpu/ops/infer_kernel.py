@@ -52,7 +52,19 @@ LOG_2PI = 1.8378770664093453
 #: [ll, n_obs, hmean (nh), hcov (nh*nh)] packed contiguously
 STAT_LL, STAT_NOBS, STAT_H0 = 0, 1, 2
 
-__all__ = ["FusedPredictOutputs", "fused_predict"]
+__all__ = ["FusedPredictOutputs", "fused_predict", "default_tile_batch"]
+
+
+def default_tile_batch(npix: int) -> int:
+    """Npix-aware VMEM-safe tile for the fused prediction kernel.
+
+    256 rows fit comfortably at SDSS width; DESI-scale grids (npix > 4000
+    -> P ~ 9.3k lanes) stream ~6 double-buffered (TB, P) planes and need
+    64-row tiles — the same budget the training engine applies
+    (``train.pallas_engine.pick_tile_batch``). Used whenever the caller
+    does not pass an explicit ``tile_batch``.
+    """
+    return 64 if npix > 4000 else 256
 
 
 class FusedPredictOutputs(NamedTuple):
@@ -223,7 +235,7 @@ def fused_predict(
     mask: Array | None = None,
     *,
     tau_which: str = "becker",
-    tile_batch: int = 256,
+    tile_batch: int | None = None,
     interpret: bool = False,
     stats_only: bool = False,
     loglam: Array | None = None,
@@ -233,8 +245,10 @@ def fused_predict(
     kernel launch.
 
     ``N`` must be a multiple of ``tile_batch`` (pad with zero rows — they
-    come back as inert all-masked outputs). ``mask=None`` derives the mask
-    from ``error > 0`` (the data layer sanitizes masked pixels to 0).
+    come back as inert all-masked outputs); ``tile_batch=None`` picks the
+    npix-aware VMEM-safe default (:func:`default_tile_batch` — 64 at DESI
+    width). ``mask=None`` derives the mask from ``error > 0`` (the data
+    layer sanitizes masked pixels to 0).
     ``derive_zabs=True`` takes the ``(N, 128)`` :func:`~qfa_tpu.ops.zq_column`
     buffer in place of the ``(N, Npix)`` zabs plane (plus ``loglam`` =
     :func:`~qfa_tpu.ops.loglam_row`), rebuilding absorber redshifts
@@ -251,7 +265,7 @@ def fused_predict(
     if nh * nh + nh + 2 > 128:
         raise ValueError("stats-row layout supports nh*nh+nh+2 <= 128")
     n = flux.shape[0]
-    tb = tile_batch
+    tb = tile_batch if tile_batch is not None else default_tile_batch(npix)
     if n % tb:
         raise ValueError(f"N={n} not divisible by tile_batch={tb}")
     p = _round_up(npix, 128)

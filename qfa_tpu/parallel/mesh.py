@@ -75,7 +75,16 @@ def initialize_distributed(**kwargs) -> None:
     kwargs). Safe to call when already initialized; every *other* failure
     (bad coordinator address, timeout, ...) is re-raised — a silently
     un-initialized multi-host run would train on a fraction of the data.
+
+    Exercised by a REAL two-process run in tests/test_distributed.py
+    (coordinator + worker over localhost, global mesh, cross-process
+    psum), not just the monkeypatched unit test.
     """
+    if getattr(jax.distributed, "is_initialized", lambda: False)():
+        # once any jax call has run, a repeat initialize() raises the
+        # backends-already-initialized error before its own already-
+        # initialized branch — check explicitly for the no-op path
+        return
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
