@@ -49,6 +49,7 @@ __all__ = [
     "estimate_mu",
     "make_residuals",
     "ResidualDataset",
+    "bf16_planes",
     "batch_indices",
     "EpochIndices",
     "epoch_indices",
@@ -285,6 +286,20 @@ class ResidualDataset(NamedTuple):
             if weight is None
             else weight.astype(self.delta.dtype),
         )
+
+
+def bf16_planes(data: ResidualDataset) -> ResidualDataset:
+    """Cast the streamed delta/error planes to bfloat16.
+
+    Halves the resident HBM footprint and per-epoch stream traffic of the
+    two big planes (~1.5M SDSS spectra on one v5e chip); the Pallas
+    kernels cast tiles back to f32 in VMEM, so all arithmetic, moments and
+    the Cholesky chain stay f32 — only the STORED data loses mantissa
+    (8 bits, ~0.3% relative, far below the spectra's noise level). zabs /
+    zq-column and mask keep their dtype.
+    """
+    cast = lambda x: None if x is None else x.astype(jnp.bfloat16)
+    return data._replace(delta=cast(data.delta), error=cast(data.error))
 
 
 def make_residuals(

@@ -260,15 +260,17 @@ def _epoch_kernel(
     c0 = sc_scr[0, S_C0]
     beta = sc_scr[0, S_BETA]
 
-    delta = delta_ref[...]
-    err = error_ref[...]
+    # delta/error may stream as bfloat16 (HBM bytes and residency halve;
+    # all arithmetic, accumulation and the Cholesky chain stay f32)
+    delta = delta_ref[...].astype(f32)
+    err = error_ref[...].astype(f32)
     if derive_mask:
         # masked pixels are sanitized to error == 0 by the data layer, so
         # the mask can skip HBM entirely (survey-scale memory saver; costs
         # ~10% step time vs streaming the mask)
         m = (err > 0.0).astype(f32)
     else:
-        m = mask_ref[...]
+        m = mask_ref[...].astype(f32)
     psi = rows_scr[R_PSI : R_PSI + 1, :]
     omega_row = rows_scr[R_OMEGA : R_OMEGA + 1, :]
     blue = blue_ref[...]
@@ -285,7 +287,7 @@ def _epoch_kernel(
         zp1b = jnp.exp(beta * logzp1)
         log_zp1 = logzp1
     else:
-        zp1 = 1.0 + zabs_ref[...]
+        zp1 = 1.0 + zabs_ref[...].astype(f32)
         tau_line = law_a * zp1**law_b + law_c
         zp1b = zp1**beta
         log_zp1 = jnp.log(zp1)
@@ -711,10 +713,13 @@ def fused_train_epoch(
     f32 = jnp.float32
 
     def pad_px(x, width):
-        if x.shape[-1] == width and x.dtype == f32:
+        # bfloat16 planes stream as-is (the kernel casts tiles to f32);
+        # everything else is canonicalized to f32
+        dt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else f32
+        if x.shape[-1] == width and x.dtype == dt:
             return x  # already padded by the caller: no copy at survey scale
         return jnp.pad(
-            x.astype(f32), [(0, 0)] * (x.ndim - 1) + [(0, width - x.shape[-1])]
+            x.astype(dt), [(0, 0)] * (x.ndim - 1) + [(0, width - x.shape[-1])]
         )
 
     delta = pad_px(delta, p)

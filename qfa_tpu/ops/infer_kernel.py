@@ -110,9 +110,11 @@ def _predict_kernel(
     c0 = hyper_ref[0, 4]
     beta = hyper_ref[0, 5]
 
-    flux = flux_ref[...]
-    err = error_ref[...]
-    m = (err > 0.0).astype(f32) if derive_mask else mask_ref[...]
+    # flux/error may stream as bfloat16 (survey-scale OOD sweeps); all
+    # arithmetic stays f32
+    flux = flux_ref[...].astype(f32)
+    err = error_ref[...].astype(f32)
+    m = (err > 0.0).astype(f32) if derive_mask else mask_ref[...].astype(f32)
     mu = mu_ref[...]  # (1, P)
     psi = rows_ref[0:1, :]
     omega_row = rows_ref[1:2, :]
@@ -127,7 +129,7 @@ def _predict_kernel(
         tau_line = law_a * jnp.exp(law_b * logzp1) + law_c
         zp1b = jnp.exp(beta * logzp1)
     else:
-        zp1 = 1.0 + zabs_ref[...]
+        zp1 = 1.0 + zabs_ref[...].astype(f32)
         tau_line = law_a * zp1**law_b + law_c
         zp1b = zp1**beta
     amp = jnp.where(blue > 0, jnp.exp(-tau_line), 1.0)
@@ -274,10 +276,11 @@ def fused_predict(
 
     def pad_px(x, width=None):
         width = p if width is None else width
-        if x.shape[-1] == width and x.dtype == f32:
+        dt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else f32
+        if x.shape[-1] == width and x.dtype == dt:
             return x
         return jnp.pad(
-            x.astype(f32), [(0, 0)] * (x.ndim - 1) + [(0, width - x.shape[-1])]
+            x.astype(dt), [(0, 0)] * (x.ndim - 1) + [(0, width - x.shape[-1])]
         )
 
     flux_p = pad_px(flux)

@@ -233,11 +233,14 @@ def fit_pallas(
     p = _round_up(data.delta.shape[1], 128)
 
     def padpix(x):
-        if x is None or (x.shape[1] == p and x.dtype == jnp.float32):
+        if x is None:
             return x
-        return jnp.pad(
-            x.astype(jnp.float32), ((0, 0), (0, p - x.shape[1]))
-        )
+        # bf16 planes keep their dtype: the kernel streams them as-is and
+        # casts tiles to f32 in VMEM (half the HBM bytes and residency)
+        dt = jnp.bfloat16 if x.dtype == jnp.bfloat16 else jnp.float32
+        if x.shape[1] == p and x.dtype == dt:
+            return x
+        return jnp.pad(x.astype(dt), ((0, 0), (0, p - x.shape[1])))
 
     # zabs pre-pad policy: in derive mode (loglam given) zabs is by
     # contract the zq column — leave it verbatim for the kernel's ABI

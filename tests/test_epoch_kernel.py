@@ -566,3 +566,66 @@ def test_fit_pallas_rejects_nonfinite_epoch(problem, caplog):
     assert not np.isfinite(np.asarray(params_off.Psi)).all() or not np.isfinite(
         hist_off
     ).all()
+
+
+def test_epoch_kernel_bf16_planes_close_to_f32(problem):
+    """bfloat16-streamed delta/error planes: kernel arithmetic stays f32,
+    so the epoch tracks the f32 run within the data-quantization level
+    (~0.3% relative on the stored planes)."""
+    from qfa_tpu.data.loader import bf16_planes
+
+    grid, nh, data = problem
+    p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+    st = TrainState(p0, adam.init(p0))
+    perm = jax.random.permutation(jax.random.key(3), data.size // 8)
+    kw = dict(epoch=jnp.asarray(0, jnp.int32), n_batches=2, tile_batch=8,
+              learning_rate=1e-2, weight_decay=0.01, interpret=True)
+    out_f32 = fused_train_epoch(
+        st.params, st.opt_state.m, st.opt_state.v,
+        data.delta, data.error, data.zabs, perm, data.mask, **kw,
+    )
+    lo = bf16_planes(data)
+    assert lo.delta.dtype == jnp.bfloat16 and lo.zabs.dtype == jnp.float32
+    out_bf = fused_train_epoch(
+        st.params, st.opt_state.m, st.opt_state.v,
+        lo.delta, lo.error, data.zabs, perm, data.mask, **kw,
+    )
+    assert out_bf.params.F.dtype == jnp.float32  # state stays f32
+    np.testing.assert_allclose(np.asarray(out_bf.loss_sums),
+                               np.asarray(out_f32.loss_sums), rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(out_bf.params.F),
+                               np.asarray(out_f32.params.F), rtol=0.1,
+                               atol=5e-3)
+    np.testing.assert_allclose(np.asarray(out_bf.n_real),
+                               np.asarray(out_f32.n_real))
+
+
+def test_fit_pallas_bf16_production_layout(problem):
+    """fit_pallas end-to-end on the bf16 + zq-column + derived-mask
+    production layout: loss curve within tolerance of the f32 engine."""
+    from qfa_tpu.data.loader import bf16_planes
+    from qfa_tpu.ops import loglam_row, zq_column
+    from qfa_tpu.train import fit_pallas
+
+    grid = qfa_tpu.make_grid(1030.0, 1090.0, 1e-3)
+    nh = 4
+    true = random_init(jax.random.key(0), grid.npix, grid.nb, nh)
+    mu = jnp.full((grid.npix,), 1.1, jnp.float32)
+    syn = generate(jax.random.key(1), true, mu, grid, 64, mask_frac=0.15)
+    b = syn.to_batch(mu)
+    # error-sanitized planes so the mask is derivable in-kernel
+    f32_data = ResidualDataset(
+        delta=b.delta * b.mask, error=b.error * b.mask,
+        zabs=zq_column(syn.zqso), mask=None,
+    )
+    cfg = TrainConfig(n_epochs=2, batch_size=32, learning_rate=1e-2,
+                      weight_decay=0.0, smooth_interval=100,
+                      save_interval=100)
+    p0 = random_init(jax.random.key(5), grid.npix, grid.nb, nh)
+    kw = dict(key=jax.random.key(6), tile_batch=8, derive_mask=True,
+              loglam=loglam_row(grid.wav), interpret=True)
+    params_a, hist_a = fit_pallas(p0, f32_data, mu, cfg, **kw)
+    params_b, hist_b = fit_pallas(p0, bf16_planes(f32_data), mu, cfg, **kw)
+    np.testing.assert_allclose(hist_b, hist_a, rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(params_b.F),
+                               np.asarray(params_a.F), rtol=0.1, atol=5e-3)

@@ -267,3 +267,20 @@ def test_fused_predict_desi_width_auto_tile():
                                np.asarray(a.continuum), rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(b.hmean), np.asarray(a.hmean),
                                rtol=1e-4, atol=1e-6)
+
+
+def test_fused_predict_bf16_planes(problem):
+    """bfloat16 flux/error streaming tracks the f32 run within the data
+    quantization level (survey-scale OOD sweeps)."""
+    grid, params, mu, syn = problem
+    flux = syn.flux * syn.mask
+    error = syn.error * syn.mask
+    a = fused_predict(params, mu, flux, error, syn.zabs, None,
+                      tile_batch=8, interpret=True)
+    b = fused_predict(params, mu, flux.astype(jnp.bfloat16),
+                      error.astype(jnp.bfloat16), syn.zabs, None,
+                      tile_batch=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(b.n_obs), np.asarray(a.n_obs))
+    np.testing.assert_allclose(np.asarray(b.ll), np.asarray(a.ll), rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(b.continuum),
+                               np.asarray(a.continuum), rtol=5e-2, atol=2e-2)
