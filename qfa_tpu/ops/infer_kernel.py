@@ -59,12 +59,16 @@ def default_tile_batch(npix: int) -> int:
     """Npix-aware VMEM-safe tile for the fused prediction kernel.
 
     256 rows fit comfortably at SDSS width; DESI-scale grids (npix > 4000
-    -> P ~ 9.3k lanes) stream ~6 double-buffered (TB, P) planes and need
-    64-row tiles — the same budget the training engine applies
-    (``train.pallas_engine.pick_tile_batch``). Used whenever the caller
-    does not pass an explicit ``tile_batch``.
+    -> P ~ 9.3k lanes) stream ~6 double-buffered (TB, P) planes: measured
+    on the v5e, 128-row tiles compile and run ~12% faster than 64 while
+    256 fails to compile (the training kernel, which also holds Adam
+    state, needs 64 there — ``train.pallas_engine.pick_tile_batch``).
+    Very wide grids drop to 64. Used whenever the caller does not pass an
+    explicit ``tile_batch``.
     """
-    return 64 if npix > 4000 else 256
+    if npix > 12000:
+        return 64
+    return 128 if npix > 4000 else 256
 
 
 class FusedPredictOutputs(NamedTuple):

@@ -244,8 +244,9 @@ def test_fused_predict_desi_width_auto_tile():
 
     grid = qfa_tpu.make_grid(1113.5772, 1600.0, 1.7029661e-05)
     assert grid.npix == 9243
-    assert default_tile_batch(grid.npix) == 64
+    assert default_tile_batch(grid.npix) == 128
     assert default_tile_batch(1913) == 256
+    assert default_tile_batch(16000) == 64
 
     nh = 4
     params = random_init(jax.random.key(0), grid.npix, grid.nb, nh)
