@@ -106,8 +106,16 @@ def read_spectra(
             return native.read_spectra_native(paths, npix, max_workers)
         if engine == "native":
             raise RuntimeError("native reader requested but unavailable")
+    from ..utils.progress import progress
+
     with ThreadPoolExecutor(max_workers=max_workers) as pool:
-        rows = list(pool.map(read_spectrum, paths))
+        rows = list(
+            progress(
+                pool.map(read_spectrum, paths),
+                desc="reading spectra",
+                total=len(paths),
+            )
+        )
     flux = np.stack([r[0] for r in rows])
     error = np.stack([r[1] for r in rows])
     mask = np.stack([r[2] for r in rows])

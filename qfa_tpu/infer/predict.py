@@ -60,7 +60,11 @@ def predict_dataset(
     error_all = np.ascontiguousarray(dataset.error, np.float32)
     mask_all = np.ascontiguousarray(dataset.mask, np.float32)
     outs: list[PredictResult] = []
-    for start, end in _batched(n, batch_size):
+    from ..utils.progress import progress
+
+    for start, end in progress(
+        list(_batched(n, batch_size)), desc="predict", min_items=64
+    ):
         b = end - start
         pad = batch_size - b
 
@@ -130,7 +134,11 @@ def predict_dataset_fused(
     loglam = loglam_row(grid.wav)
     chunk = max(tile_batch, chunk - chunk % tile_batch)
     outs = []
-    for start, end in _batched(n, chunk):
+    from ..utils.progress import progress
+
+    for start, end in progress(
+        list(_batched(n, chunk)), desc="predict (fused)", min_items=64
+    ):
         b = end - start
         pad = -(b % -tile_batch)
 
@@ -267,8 +275,12 @@ def write_npz_outputs(
     """Write one npz per spectrum in the reference output schema
     (keys ``ll, hmean, hcov, cont, uncertainty``;
     ``/root/reference/main.py:94-98``)."""
+    from ..utils.progress import progress
+
     os.makedirs(output_dir, exist_ok=True)
-    for i, p in enumerate(paths):
+    for i, p in progress(
+        list(enumerate(paths)), desc="writing predictions", total=len(paths)
+    ):
         name = os.path.basename(str(p))
         np.savez(
             os.path.join(output_dir, name),

@@ -206,6 +206,8 @@ def _epoch_kernel(
     n_batches: int,
     derive_mask: bool,
     derive_zabs: bool,
+    pb: int,  #: blue-padded lane count (round_up(nb, 128), <= p_lanes)
+    p_lanes: int,  #: full padded pixel width P
 ):
     mask_ref = None
     if not derive_mask:
@@ -275,6 +277,13 @@ def _epoch_kernel(
     omega_row = rows_scr[R_OMEGA : R_OMEGA + 1, :]
     blue = blue_ref[...]
 
+    # The absorption/tau chain only exists on BLUE pixels; restricting its
+    # elementwise work (4 exps + ~15 VPU ops per pixel) to the first
+    # pb = round_up(nb, 128) lanes cuts the dominant VPU cost on
+    # production grids (SDSS: 768 of 1920 lanes; DESI: 2304 of 9344).
+    # When pb == p (all-blue test grids) the unrestricted path is used.
+    split = pb < p_lanes
+    blue_b = blue[:, :pb] if split else blue
     if derive_zabs:
         # zabs never touches HBM: the (TB, lanes) input carries only
         # log1p(zqso) in lane 0, and log(1 + zabs) = log1p(zqso) +
@@ -282,29 +291,56 @@ def _epoch_kernel(
         # per-pixel pow/log transcendentals disappear (pow lowers to
         # exp(b*log x) on the VPU); only the param-dependent exps remain.
         zq = zabs_ref[:, 0:1]  # (TB, 1) log1p(zqso)
-        logzp1 = (zq + loglam_ref[...]) * blue  # (TB, P); 0 on red/pad
+        loglam_b = loglam_ref[:, :pb] if split else loglam_ref[...]
+        logzp1 = (zq + loglam_b) * blue_b  # (TB, PB); 0 on red/pad
         tau_line = law_a * jnp.exp(law_b * logzp1) + law_c
         zp1b = jnp.exp(beta * logzp1)
         log_zp1 = logzp1
     else:
-        zp1 = 1.0 + zabs_ref[...].astype(f32)
+        zfull = zabs_ref[...].astype(f32)
+        zp1 = 1.0 + (zfull[:, :pb] if split else zfull)
         tau_line = law_a * zp1**law_b + law_c
         zp1b = zp1**beta
         log_zp1 = jnp.log(zp1)
-    amp = jnp.where(blue > 0, jnp.exp(-tau_line), 1.0)
+    amp_b = jnp.where(blue_b > 0, jnp.exp(-tau_line), 1.0)  # (TB, PB)
     tau_hi = tau0 * zp1b
     exp_neg = jnp.exp(-tau_hi)
     root = 1.0 - c0 - exp_neg
-    zdep = jnp.where(blue > 0, root * root, 0.0)
-    d = amp * amp * psi + omega_row * zdep + err * err
-    d_safe = jnp.where(m > 0, d, 1.0)
-    dinv = m / d_safe
+    zdep_b = jnp.where(blue_b > 0, root * root, 0.0)
     delta_m = delta * m
-    w_row = amp * amp * dinv
-    u_row = amp * dinv * delta_m
+    if split:
+        err_b = err[:, :pb]
+        # red side: amp = 1, zdep = 0 -> d = psi + err^2. Computed FULL
+        # width and sliced: Mosaic cannot broadcast a (1, X) row slice at
+        # a nonzero lane offset (psi[:, pb:]), while offset-0 broadcasts
+        # and (TB, X) offset slices lower fine.
+        base_r = psi + err * err
+        d_b = (
+            amp_b * amp_b * psi[:, :pb]
+            + omega_row[:, :pb] * zdep_b
+            + err_b * err_b
+        )
+        d = jnp.concatenate([d_b, base_r[:, pb:]], axis=1)
+        d_safe = jnp.where(m > 0, d, 1.0)
+        dinv = m / d_safe
+        dinv_b, dinv_r = dinv[:, :pb], dinv[:, pb:]
+        w_row = jnp.concatenate(
+            [amp_b * amp_b * dinv_b, dinv_r], axis=1
+        )
+        u_row = jnp.concatenate(
+            [amp_b * dinv_b * delta_m[:, :pb], dinv_r * delta_m[:, pb:]],
+            axis=1,
+        )
+        mblue = m[:, :pb] * blue_b  # (TB, PB)
+    else:
+        d = amp_b * amp_b * psi + omega_row * zdep_b + err * err
+        d_safe = jnp.where(m > 0, d, 1.0)
+        dinv = m / d_safe
+        w_row = amp_b * amp_b * dinv
+        u_row = amp_b * dinv * delta_m
+        mblue = m * blue
     q_row = delta_m * delta_m * dinv
     logd_row = m * jnp.log(d_safe)
-    mblue = m * blue
 
     rhst = rhst_scr[...]
     # Per-spectrum small-matrix work happens in LANE-MAJOR layout: the MXU
@@ -323,7 +359,7 @@ def _epoch_kernel(
     quad = dot_lanes(ones_r, q_row)  # (1, TB)
     logdet_d = dot_lanes(ones_r, logd_row)
     n_obs = dot_lanes(ones_r, m)
-    n_blue = dot_lanes(ones_r, mblue)
+    n_blue = dot_lanes(ones_r[:, :pb] if split else ones_r, mblue)
 
     # expand the triangle back to the flat (a*nh+b) list the factorization
     # indexes; the Cholesky only ever reads the lower triangle, so shared
@@ -415,22 +451,31 @@ def _epoch_kernel(
     # dinv = m / d_safe, so multiplying by it both divides and masks —
     # one fewer per-pixel divide than (.../d_safe) * m
     dd = (-(dw_pix * w_row + du_pix * u_row + 0.5 * q_row) + 0.5 * m) * dinv
-    dzdep = dd * omega_row
-    droot2 = dzdep * 2.0 * root * blue
+    dd_b = dd[:, :pb] if split else dd
+    dzdep = dd_b * (omega_row[:, :pb] if split else omega_row)
+    droot2 = dzdep * 2.0 * root * blue_b
     dtau_hi = droot2 * exp_neg
 
+    if split:
+        dpsi_op = jnp.concatenate(
+            [dd_b * amp_b * amp_b, dd[:, pb:]], axis=1  # red: amp = 1
+        )
+    else:
+        dpsi_op = dd_b * amp_b * amp_b
     grows_scr[G_DPSI : G_DPSI + 1, :] += jnp.sum(
-        dd * amp * amp, axis=0, keepdims=True
+        dpsi_op, axis=0, keepdims=True
     )
-    grows_scr[G_DOMEGA : G_DOMEGA + 1, :] += jnp.sum(
-        dd * zdep, axis=0, keepdims=True
+    grows_scr[G_DOMEGA : G_DOMEGA + 1, :pb] += jnp.sum(
+        dd_b * zdep_b, axis=0, keepdims=True
     )
     grows_scr[G_CNT : G_CNT + 1, :] += jnp.sum(m, axis=0, keepdims=True)
-    grows_scr[G_DT0 : G_DT0 + 1, :] += jnp.sum(
+    grows_scr[G_DT0 : G_DT0 + 1, :pb] += jnp.sum(
         dtau_hi * zp1b, axis=0, keepdims=True
     )
-    grows_scr[G_DC0 : G_DC0 + 1, :] += jnp.sum(-droot2, axis=0, keepdims=True)
-    grows_scr[G_DBETA : G_DBETA + 1, :] += jnp.sum(
+    grows_scr[G_DC0 : G_DC0 + 1, :pb] += jnp.sum(
+        -droot2, axis=0, keepdims=True
+    )
+    grows_scr[G_DBETA : G_DBETA + 1, :pb] += jnp.sum(
         dtau_hi * tau0 * zp1b * log_zp1, axis=0, keepdims=True
     )
 
@@ -796,6 +841,7 @@ def fused_train_epoch(
     kernel = functools.partial(
         _epoch_kernel, nh=nh, tb=tb, tpb=tpb, n_batches=n_batches,
         derive_mask=mask is None, derive_zabs=derive_zabs,
+        pb=min(_round_up(nb, 128), p), p_lanes=p,
     )
     tile_spec = pl.BlockSpec(
         (tb, p), lambda i, j, perm: (perm[i * tpb + j], 0),

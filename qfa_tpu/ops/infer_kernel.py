@@ -93,6 +93,8 @@ def _predict_kernel(
     derive_mask: bool,
     derive_zabs: bool,
     stats_only: bool,
+    pb: int,  #: blue-padded lane count (round_up(nb, 128), <= p_lanes)
+    p_lanes: int,  #: full padded pixel width P
 ):
     mask_ref = None
     if not derive_mask:
@@ -124,28 +126,64 @@ def _predict_kernel(
     omega_row = rows_ref[1:2, :]
     blue = rows_ref[2:3, :]
 
+    # Blue-restricted absorption chain (see ops.epoch_kernel): the tau
+    # elementwise work + its exps run on the first pb = round_up(nb, 128)
+    # lanes only; red lanes have amp = 1, zdep = 0.
+    split = pb < p_lanes
+    blue_b = blue[:, :pb] if split else blue
     if derive_zabs:
         # zabs_ref carries only the (TB, lanes) zq column (lane 0 =
         # log1p(zqso)); rows_ref row 3 is the static log(lam/lam_lya)
         # row — log(1+zabs) is an outer add, no per-pixel pow/log
         zq = zabs_ref[:, 0:1]  # (TB, 1)
-        logzp1 = (zq + rows_ref[3:4, :]) * blue  # (TB, P)
+        loglam_b = rows_ref[3:4, :pb] if split else rows_ref[3:4, :]
+        logzp1 = (zq + loglam_b) * blue_b  # (TB, PB)
         tau_line = law_a * jnp.exp(law_b * logzp1) + law_c
         zp1b = jnp.exp(beta * logzp1)
     else:
-        zp1 = 1.0 + zabs_ref[...].astype(f32)
+        zfull = zabs_ref[...].astype(f32)
+        zp1 = 1.0 + (zfull[:, :pb] if split else zfull)
         tau_line = law_a * zp1**law_b + law_c
         zp1b = zp1**beta
-    amp = jnp.where(blue > 0, jnp.exp(-tau_line), 1.0)
+    amp_b = jnp.where(blue_b > 0, jnp.exp(-tau_line), 1.0)  # (TB, PB)
     tau_hi = tau0 * zp1b
     root = 1.0 - c0 - jnp.exp(-tau_hi)
-    zdep = jnp.where(blue > 0, root * root, 0.0)
-    delta = (flux - mu * amp) * m
-    d = amp * amp * psi + omega_row * zdep + err * err
-    d_safe = jnp.where(m > 0, d, 1.0)
-    dinv = m / d_safe
-    w_row = amp * amp * dinv
-    u_row = amp * dinv * delta
+    zdep_b = jnp.where(blue_b > 0, root * root, 0.0)
+    if split:
+        # red side: amp = 1, zdep = 0. Red bases are computed FULL width
+        # and sliced — Mosaic cannot broadcast a (1, X) row slice at a
+        # nonzero lane offset (mu[:, pb:] / psi[:, pb:]), while offset-0
+        # broadcasts and (TB, X) offset slices lower fine.
+        base_delta = (flux - mu) * m
+        base_d = psi + err * err
+        err_b = err[:, :pb]
+        delta = jnp.concatenate(
+            [
+                (flux[:, :pb] - mu[:, :pb] * amp_b) * m[:, :pb],
+                base_delta[:, pb:],
+            ],
+            axis=1,
+        )
+        d_b = (
+            amp_b * amp_b * psi[:, :pb]
+            + omega_row[:, :pb] * zdep_b
+            + err_b * err_b
+        )
+        d = jnp.concatenate([d_b, base_d[:, pb:]], axis=1)
+        d_safe = jnp.where(m > 0, d, 1.0)
+        dinv = m / d_safe
+        dinv_b, dinv_r = dinv[:, :pb], dinv[:, pb:]
+        w_row = jnp.concatenate([amp_b * amp_b * dinv_b, dinv_r], axis=1)
+        u_row = jnp.concatenate(
+            [amp_b * dinv_b * delta[:, :pb], dinv_r * delta[:, pb:]], axis=1
+        )
+    else:
+        delta = (flux - mu * amp_b) * m
+        d = amp_b * amp_b * psi + omega_row * zdep_b + err * err
+        d_safe = jnp.where(m > 0, d, 1.0)
+        dinv = m / d_safe
+        w_row = amp_b * amp_b * dinv
+        u_row = amp_b * dinv * delta
     q_row = delta * delta * dinv
     logd_row = m * jnp.log(d_safe)
 
@@ -338,6 +376,7 @@ def fused_predict(
     kernel = functools.partial(
         _predict_kernel, nh=nh, tb=tb, derive_mask=mask is None,
         derive_zabs=derive_zabs, stats_only=stats_only,
+        pb=min(_round_up(nb, 128), p), p_lanes=p,
     )
     tile = pl.BlockSpec((tb, p), lambda i: (i, 0), memory_space=pltpu.VMEM)
     z_tile = tile if not derive_zabs else pl.BlockSpec(

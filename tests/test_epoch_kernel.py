@@ -629,3 +629,55 @@ def test_fit_pallas_bf16_production_layout(problem):
     np.testing.assert_allclose(hist_b, hist_a, rtol=2e-2)
     np.testing.assert_allclose(np.asarray(params_b.F),
                                np.asarray(params_a.F), rtol=0.1, atol=5e-3)
+
+
+def test_epoch_kernel_blue_lane_split_path():
+    """Grids where round_up(nb,128) < round_up(npix,128) take the
+    blue-restricted elementwise path (the tau/absorption chain runs on
+    pb lanes only) — must still match the XLA epoch exactly, in both
+    zabs-plane and zq-column modes."""
+    from qfa_tpu.ops import loglam_row, zq_column
+
+    grid = qfa_tpu.make_grid(1030.0, 1400.0, 5e-4)
+    assert -(-grid.nb // 128) * 128 < -(-grid.npix // 128) * 128  # split
+    nh = 4
+    true = random_init(jax.random.key(0), grid.npix, grid.nb, nh)
+    mu = jnp.full((grid.npix,), 1.1, jnp.float32)
+    syn = generate(jax.random.key(1), true, mu, grid, 64, mask_frac=0.15)
+    b = syn.to_batch(mu)
+    data = ResidualDataset(delta=b.delta, error=b.error, zabs=b.zabs,
+                           mask=b.mask)
+    out, st_xla, loss_xla = run_both(grid, nh, data)
+    mega_loss = float(
+        jnp.sum(out.loss_sums / jnp.maximum(out.n_real, 1.0)) / 2
+    )
+    assert mega_loss == pytest.approx(float(loss_xla), rel=1e-5)
+    for name in ("F", "Psi", "omega", "tau0", "c0", "beta"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out.params, name)),
+            np.asarray(getattr(st_xla.params, name)),
+            rtol=2e-4, atol=2e-6, err_msg=name,
+        )
+    # zq-column mode through the same split path
+    p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+    st = TrainState(p0, adam.init(p0))
+    perm = jax.random.permutation(jax.random.key(3), 8)
+    kw = dict(epoch=jnp.asarray(0, jnp.int32), n_batches=2, tile_batch=8,
+              learning_rate=1e-2, weight_decay=0.01, interpret=True)
+    out_plane = fused_train_epoch(
+        st.params, st.opt_state.m, st.opt_state.v,
+        b.delta, b.error, b.zabs, perm, b.mask, **kw,
+    )
+    out_col = fused_train_epoch(
+        st.params, st.opt_state.m, st.opt_state.v,
+        b.delta, b.error, zq_column(syn.zqso), perm, b.mask,
+        loglam=loglam_row(grid.wav), derive_zabs=True, **kw,
+    )
+    np.testing.assert_allclose(np.asarray(out_col.loss_sums),
+                               np.asarray(out_plane.loss_sums), rtol=1e-5)
+    for name in ("F", "Psi", "omega", "tau0", "c0", "beta"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(out_col.params, name)),
+            np.asarray(getattr(out_plane.params, name)),
+            rtol=5e-4, atol=1e-5, err_msg=name,
+        )
