@@ -43,12 +43,43 @@ TRAIN_BASELINE = 2.4  # spectra/s, reference hot loop on 1 CPU core
 INFER_BASELINE = 5.5  # spectra/s, reference predict path on 1 CPU core
 
 # Analytic MXU FLOPs per spectrum inside the epoch kernel (all f32-HIGHEST):
-# forward K/w dots (2 rows x RC), scalar contractions (4 x 1), backward
-# per-pixel cotangents (tri(nh) + nh), gradient accumulation (2 rows x RC).
-# The Gram block is stored as its lower triangle (RC = tri + nh + 1 rows).
-def kernel_flops_per_spectrum(p: int, rc: int, nh: int) -> float:
+# forward K/w dots (2 rows x RC), scalar contractions (3 full + 1 blue),
+# backward per-pixel cotangents (tri(nh) + nh), gradient accumulation
+# (2 rows x RC). The Gram block is stored as its lower triangle
+# (RC = tri + nh + 1 rows); the n_blue count dot runs on pb lanes only.
+def kernel_flops_per_spectrum(p: int, pb: int, rc: int, nh: int) -> float:
     ntri = nh * (nh + 1) // 2
-    return 2.0 * p * (2 * rc + 4 + (ntri + nh) + 2 * rc)
+    return 2.0 * (p * (2 * rc + 3 + (ntri + nh) + 2 * rc) + pb)
+
+
+def kernel_vpu_ops_per_spectrum(p: int, pb: int, tb: int, nh: int) -> dict:
+    """Analytic per-spectrum VPU op counts for the production epoch kernel
+    (derive_zabs + derive_mask, blue-restricted path) — a statement walk of
+    ops/epoch_kernel._epoch_kernel, the elementwise analogue of the MXU
+    FLOP count. Per-lane tallies (1 op per elementary arithmetic/select):
+
+    * BLUE lanes (pb): logzp1 2; tau_line 2; zp1b 1; amp 2; tau_hi 1;
+      root 1; zdep 2; d_b 6; w_b 2; u_b 2; mblue 1; dzdep 1; droot2 3;
+      dtau_hi 1; dpsi-blue 2; 4 gradient-row operands+reduces 2+2+2+4
+      -> 39 simple + 4 exp.
+    * RED-only lanes (p - pb): u_r 1 -> 1 simple.
+    * FULL width (p): mask cmp+cast 2; delta_m 1; base_r 2; d concat 1;
+      d_safe 2; w/u/wu/dpsi concats 5; q_row 2; logd mul 1; dd 8;
+      G_DPSI/G_CNT reduces 2 -> 26 simple + 1 log + 1 div.
+    * small per-spectrum linear algebra (unrolled Cholesky, solves, S
+      build): ~3.3 nh^3 (1, TB)-shaped vector ops per tile; a (1, TB) op
+      uses 1 of 8 sublanes, so its cost at ALU peak is 8x its element
+      count -> ~ 3.3 nh^3 * 8 equivalent element-ops per spectrum.
+    """
+    simple = 39 * pb + 1 * (p - pb) + 26 * p
+    smallwork = int(3.3 * nh**3) * 8
+    return dict(
+        simple=simple + smallwork,
+        exp=4 * pb,
+        log=p,
+        div=p,
+        smallwork_equiv=smallwork,
+    )
 
 
 def make_problem(grid, nh, n, seed=0):
@@ -148,6 +179,97 @@ def calibrate_peaks():
     return peak_tflops, peak_read_gbps
 
 
+def calibrate_vpu():
+    """Measure this chip's usable VPU throughput per op class (fma-style
+    simple ops, exp, log, divide) with Pallas chain kernels: the tile
+    lives in VMEM and the op chain runs register-resident inside a
+    dynamic-bound fori_loop, so timing two iteration counts and
+    differencing cancels launch + DMA exactly — the slope is pure ALU.
+    Returns ops/s for {"fma", "exp", "log", "div"} ("fma" counts mul+add
+    as 2 ops, matching the statement-walk accounting)."""
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    shape = (256, 1024)
+    elems = shape[0] * shape[1]
+    body_reps = 8  # reps per carry per loop iteration
+    lanes = 8  # independent chains: throughput (ILP) peak, not ALU latency
+
+    OPS = ("fma", "exp", "log", "div")
+
+    # ONE kernel for all four op classes (selected by an SMEM op id via
+    # lax.switch): a single Mosaic compile — cold remote compiles cost
+    # tens of seconds each on the tunnel.
+    def kernel(sel_ref, x_ref, o_ref):
+        xs0 = tuple(x_ref[...] * (1.0 + 0.01 * k) for k in range(lanes))
+
+        def make_branch(op):
+            def body(_, xs):
+                out = []
+                for x in xs:
+                    for r in range(body_reps):
+                        if op == "fma":
+                            x = x * 1.0000001 + 1e-7
+                        elif op == "exp":
+                            x = jnp.exp(-x)
+                        elif op == "log":
+                            x = jnp.log(x + 1.5)
+                        else:  # div
+                            x = 1.0 / (x + 1.5)
+                    out.append(x)
+                return tuple(out)
+
+            return lambda xs: jax.lax.fori_loop(0, sel_ref[0], body, xs)
+
+        xs = jax.lax.switch(
+            sel_ref[1], [make_branch(op) for op in OPS], xs0
+        )
+        o_ref[...] = sum(xs)
+
+    fn = jax.jit(
+        lambda sel, x: pl.pallas_call(
+            kernel,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct(shape, jnp.float32),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+        )(sel, x)
+    )
+
+    # (i1, i2) per op, i2 >> i1 so the slope dwarfs dispatch noise; a
+    # peak is a CEILING, so each endpoint takes the min (least-contended
+    # run) over several trials — the shared tunnel adds ms-scale jitter
+    iters = {"fma": (120, 1080), "exp": (40, 360), "log": (40, 360),
+             "div": (40, 360)}
+    ops_per_rep = {"fma": 2.0, "exp": 1.0, "log": 1.0, "div": 1.0}
+    peaks = {}
+    base = jax.random.uniform(jax.random.key(17), shape, jnp.float32,
+                              0.5, 1.0)
+
+    def timed_run(op_id, n_iters, trial):
+        x = base * (1.0 + 1e-6 * trial)
+        _ = float(np.asarray(x[0, 0]))  # materialize the fresh input
+        t0 = time.perf_counter()
+        out = fn(jnp.asarray([n_iters, op_id], jnp.int32), x)
+        _ = float(np.asarray(out[0, 0]))
+        return time.perf_counter() - t0
+
+    timed_run(0, 8, 0)  # compile once
+    for op_id, op in enumerate(OPS):
+        i1, i2 = iters[op]
+        t1 = min(timed_run(op_id, i1, 1 + k) for k in range(4))
+        t2 = min(timed_run(op_id, i2, 11 + k) for k in range(4))
+        d_ops = (i2 - i1) * body_reps * lanes * ops_per_rep[op] * elems
+        peaks[op] = d_ops / max(t2 - t1, 1e-9)
+    return peaks
+
+
 def build_survey(grid, n, nh, seed=5):
     """Survey-scale resident residual buffers in the production layout
     (delta, error, zq column — ~15.4 KB/spectrum at SDSS scale), built
@@ -225,6 +347,23 @@ def main() -> None:
     )
     train_rate = n_spectra / train_dt
 
+    # ---- bf16 capacity mode: half the resident bytes, measured rate ------
+    stage("bf16 capacity mode")
+    bf16_rate = None
+    try:
+        from qfa_tpu.data.loader import bf16_planes
+
+        data_bf = bf16_planes(data)
+        jax.block_until_ready(data_bf.delta)
+        bf_dt, _, _ = bench_pallas_epochs(
+            params, data_bf, batch_size, tile, trials=4,
+            loglam=loglam_row(grid.wav),
+        )
+        bf16_rate = n_spectra / bf_dt
+        del data_bf
+    except Exception as e:  # noqa: BLE001
+        failures["bf16"] = f"{type(e).__name__}: {str(e)[:200]}"
+
     # ---- XLA scan-epoch trainer (round-1 headline path) ------------------
     stage("xla epoch trainer")
     xla_rate = None
@@ -251,6 +390,46 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         failures["xla"] = f"{type(e).__name__}: {str(e)[:200]}"
         state = head_state
+
+    # ---- data-parallel epoch on a 1-device mesh (measured DP overhead) ----
+    # The dp engines reintroduce per-batch dispatch + a psum per step; this
+    # anchors multi-chip projections with the measured single-chip cadence.
+    stage("dp epoch (1-device mesh)")
+    dp_rate = None
+    try:
+        from qfa_tpu.parallel import (
+            make_dp_epoch_fn,
+            make_mesh,
+            shard_dataset,
+            shard_epoch_indices,
+        )
+
+        mesh = make_mesh(1)
+        dp_cfg = TrainConfig(batch_size=batch_size)
+        dp_fn = make_dp_epoch_fn(dp_cfg, mesh)
+        dp_data = shard_dataset(plane, mesh)
+        dp_state = TrainState(
+            random_init(jax.random.key(21), grid.npix, grid.nb, nh),
+            adam.init(params),
+        )
+        ei = shard_epoch_indices(
+            jax.random.key(30), n_spectra, batch_size, mesh
+        )
+        dp_state, dp_loss = dp_fn(dp_state, dp_data, ei)  # compile+warm
+        _ = float(dp_loss)
+        dp_times = []
+        for trial in range(3):
+            ei = shard_epoch_indices(
+                jax.random.key(31 + trial), n_spectra, batch_size, mesh
+            )
+            t0 = time.perf_counter()
+            dp_state, dp_loss = dp_fn(dp_state, dp_data, ei)
+            _ = float(dp_loss)
+            dp_times.append(time.perf_counter() - t0)
+        dp_rate = n_spectra / min(dp_times)
+        del dp_data, dp_state
+    except Exception as e:  # noqa: BLE001
+        failures["dp"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     # ---- inference throughput: fused single-launch prediction kernel ------
     # (production layout: zq column + in-kernel mask)
@@ -312,11 +491,11 @@ def main() -> None:
     stage("desi")
     desi_grid = qfa_tpu.make_grid(1113.5772, 1600.0, 1.7029661e-05)
     assert desi_grid.npix == 9243
-    desi_rate = desi_loss = None
-    desi_params = desi_data = None
+    desi_rate = desi_loss = desi_infer_rate = None
+    desi_params = desi_data = desi_syn = None
     try:
         desi_n, desi_b = 16384, 1024
-        desi_params, _, _, desi_data, _ = make_problem(
+        desi_params, desi_mu, desi_syn, desi_data, _ = make_problem(
             desi_grid, nh, desi_n, seed=5
         )
         desi_dt, desi_loss, _ = bench_pallas_epochs(
@@ -327,8 +506,41 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         failures["desi"] = f"{type(e).__name__}: {str(e)[:200]}"
 
+    # ---- DESI-scale fused inference (npix-aware auto tile) ----------------
+    stage("desi fused inference")
+    try:
+        if desi_syn is not None:
+            desi_zq = zq_column(desi_syn.zqso)
+            desi_llrow = loglam_row(desi_grid.wav)
+            dsan = jax.jit(
+                lambda s, c: (s.flux * s.mask * c, s.error * s.mask)
+            )
+            dflux, derr = dsan(desi_syn, 1.0)
+            _ = float(np.asarray(dflux[0, 0]))
+            dres = fused_predict(
+                desi_params, desi_mu, dflux, derr, desi_zq, None,
+                loglam=desi_llrow, derive_zabs=True,
+            )
+            _ = float(np.asarray(dres.ll[0]))
+            dtimes = []
+            for trial in range(2):
+                dflux, derr = dsan(desi_syn, 1.0 + 1e-7 * (trial + 1))
+                _ = float(np.asarray(dflux[0, 0]))
+                t0 = time.perf_counter()
+                dres = fused_predict(
+                    desi_params, desi_mu, dflux, derr, desi_zq, None,
+                    loglam=desi_llrow, derive_zabs=True,
+                )
+                _ = float(np.asarray(dres.ll[-1]))
+                dtimes.append(time.perf_counter() - t0)
+            desi_infer_rate = desi_n / min(dtimes)
+            del dres, dflux, derr, desi_zq
+    except Exception as e:  # noqa: BLE001
+        failures["desi_infer"] = f"{type(e).__name__}: {str(e)[:200]}"
+
     # free the DESI + SDSS synthetic buffers before the survey allocation
-    del desi_data, desi_params, syn, res, data, plane, state, flux_s, err_s
+    del desi_data, desi_params, desi_syn, syn, res, data, plane, state
+    del flux_s, err_s
     import gc
 
     gc.collect()
@@ -356,21 +568,72 @@ def main() -> None:
     gc.collect()
 
     # ---- roofline / MFU accounting ----------------------------------------
-    stage("calibration")
+    stage("calibration (mxu + hbm)")
     peak_tflops = peak_read_gbps = None
     try:
         peak_tflops, peak_read_gbps = calibrate_peaks()
     except Exception as e:  # noqa: BLE001
         failures["calibration"] = f"{type(e).__name__}: {str(e)[:200]}"
+    stage("calibration (vpu)")
+    vpu_peaks = None
+    try:
+        vpu_peaks = calibrate_vpu()
+    except Exception as e:  # noqa: BLE001
+        failures["vpu_calibration"] = f"{type(e).__name__}: {str(e)[:200]}"
     from qfa_tpu.ops.fused_step import _round_up
 
     p = _round_up(grid.npix, 128)
+    pb = _round_up(grid.nb, 128)
     rc = _round_up(nh * (nh + 1) // 2 + nh + 1, 8)
-    fps = kernel_flops_per_spectrum(p, rc, nh)
+    fps = kernel_flops_per_spectrum(p, pb, rc, nh)
     tflops = train_rate * fps / 1e12
     # production layout: delta + error planes + the 512 B zq column
     bytes_per_spectrum = 2 * p * 4 + 512
     hbm_gbps = train_rate * bytes_per_spectrum / 1e9
+
+    # Binding-axis model. Per-spectrum speed-of-light times on each
+    # calibrated axis; MXU dots and VPU elementwise ops issue from one
+    # serial instruction stream on a TPU core (they do not overlap the way
+    # DMA does), so the compute ceiling is their SUM, while DMA overlaps
+    # -> binding = max(serial compute, HBM). Fractions are measured
+    # throughput vs that ceiling, for BOTH the 65k-spectra headline epoch
+    # and the survey-scale (768k) production run.
+    def binding_block(rate):
+        if rate is None or vpu_peaks is None or peak_tflops is None \
+                or peak_read_gbps is None:
+            return None
+        counts = kernel_vpu_ops_per_spectrum(p, pb, tile, nh)
+        t_mxu = fps / (peak_tflops * 1e12)
+        t_vpu = (
+            counts["simple"] / vpu_peaks["fma"]
+            + counts["exp"] / vpu_peaks["exp"]
+            + counts["log"] / vpu_peaks["log"]
+            + counts["div"] / vpu_peaks["div"]
+        )
+        t_hbm = bytes_per_spectrum / (peak_read_gbps * 1e9)
+        t_serial = t_mxu + t_vpu
+        t_actual = 1.0 / rate
+        axis = "compute (mxu+vpu serial)" if t_serial >= t_hbm else "hbm"
+        block = {
+            "t_mxu_ns": round(t_mxu * 1e9, 1),
+            "t_vpu_ns": round(t_vpu * 1e9, 1),
+            "t_hbm_ns": round(t_hbm * 1e9, 1),
+            "t_actual_ns": round(t_actual * 1e9, 1),
+            "hbm_pct": round(100.0 * t_hbm / t_actual, 1),
+            "binding_axis": axis,
+            "binding_pct": round(
+                100.0 * max(t_serial, t_hbm) / t_actual, 1
+            ),
+        }
+        if block["binding_pct"] > 100.0:
+            # a ceiling cannot be exceeded: the kernel itself proves a
+            # calibration endpoint hit shared-tunnel contention
+            block["calibration_note"] = (
+                "ceiling model exceeds 100%: a calibrated peak was "
+                "measured low (tunnel contention during calibration); "
+                "the kernel is saturating this axis"
+            )
+        return block
 
     def _r(x, nd=1):
         return None if x is None else round(x, nd)
@@ -392,6 +655,16 @@ def main() -> None:
             "epoch_seconds": round(train_dt, 4),
             "final_epoch_loss": final_loss,
             "xla_train_spectra_per_sec": _r(xla_rate),
+            "bf16_capacity_train_spectra_per_sec": _r(bf16_rate),
+            "bf16_note": "bf16-streamed planes HALVE resident bytes "
+                         "(~1.5M SDSS spectra/chip) but run slower than "
+                         "f32 (bf16->f32 tile relayout outweighs the "
+                         "overlapped-DMA savings) - a capacity mode, "
+                         "not the default",
+            "dp_epoch_spectra_per_sec": _r(dp_rate),
+            "dp_overhead_vs_fit_pallas": _r(
+                None if dp_rate is None else train_rate / dp_rate, 2
+            ),
             "infer_engine": "fused single-launch Pallas prediction kernel",
             "infer_spectra_per_sec": _r(infer_rate),
             "infer_vs_baseline": _r(
@@ -406,6 +679,7 @@ def main() -> None:
             ),
             "sdss_gpixels_per_sec": round(train_rate * grid.npix / 1e9, 2),
             "desi_final_loss": desi_loss,
+            "desi_infer_spectra_per_sec": _r(desi_infer_rate),
             "survey_resident_spectra": n_survey,
             "survey_train_spectra_per_sec": _r(big_rate),
             "survey_resident_gb": round(n_survey * (2 * p * 4 + 512) / 2**30,
@@ -437,10 +711,20 @@ def main() -> None:
                     else 100.0 * hbm_gbps / peak_read_gbps
                 ),
                 "kernel_launches_per_epoch": 1,
-                "note": "workload is launch/VPU-bound, not GEMM-bound: the "
-                        "whole epoch is one kernel; per-spectrum MXU work is "
-                        "~0.9 MFLOP (symmetric-triangle Gram contractions) "
-                        "against an 18k-param model",
+                "vpu_peaks_tops": None if vpu_peaks is None else {
+                    k: round(v / 1e12, 3) for k, v in vpu_peaks.items()
+                },
+                "vpu_ops_per_spectrum": kernel_vpu_ops_per_spectrum(
+                    p, pb, tile, nh
+                ),
+                "binding_headline_epoch": binding_block(train_rate),
+                "binding_survey_scale": binding_block(big_rate),
+                "note": "the kernel is COMPUTE-bound, not GEMM- or "
+                        "HBM-bound alone: MXU contractions and VPU "
+                        "elementwise work share one serial instruction "
+                        "stream, so the calibrated ceiling is their sum "
+                        "(binding_* blocks); DMA is overlapped (measured "
+                        "by ablation: halving streamed bytes saves ~7%)",
             },
         },
     }

@@ -252,6 +252,16 @@ def run_train(cfg: ConfigNode) -> None:
         reference_norm=cfg.TRAIN.REFERENCE_NORM,
         options=ModelOptions(tau_which=cfg.MODEL.TAU),
     )
+    if cfg.TRAIN.BF16_PLANES:
+        # capacity mode: halve the resident delta/error bytes; every
+        # engine casts tiles/batches back to f32 before arithmetic
+        from .data.loader import bf16_planes
+
+        residuals = bf16_planes(residuals)
+        logger.info(
+            "capacity mode: bf16-stored delta/error planes "
+            "(half the resident bytes; f32 arithmetic)"
+        )
     with MetricsWriter(out) as metrics:
         fit_kwargs = dict(
             key=jax.random.key(cfg.SEED),

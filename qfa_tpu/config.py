@@ -176,6 +176,11 @@ def default_config() -> ConfigNode:
                 #: (multi-device meshes always use the XLA SPMD path);
                 #: "pallas" / "xla" force one.
                 "ENGINE": "auto",
+                #: capacity mode: store the resident delta/error planes as
+                #: bfloat16 (half the HBM footprint, ~1.5M SDSS spectra per
+                #: chip; kernel arithmetic stays f32). Measured ~0.7x the
+                #: f32 epoch rate on v5e — trade speed for residency.
+                "BF16_PLANES": False,
             },
             # TPU-native extensions
             "MESH": {

@@ -283,16 +283,20 @@ class ResidualDataset(NamedTuple):
 
         ``weight`` (optional, (B,)) marks padding rows with 0 — used by the
         tail batch of an epoch, whose pad entries duplicate row 0 but must
-        contribute nothing.
+        contribute nothing. bfloat16-stored planes (:func:`bf16_planes`
+        capacity mode) are cast to f32 here, so every engine computes in
+        f32 regardless of the storage dtype.
         """
+        f32 = jnp.float32
+        cast = lambda x: x.astype(f32) if x.dtype == jnp.bfloat16 else x
         return SpectraBatch(
-            delta=self.delta[idx],
-            error=self.error[idx],
-            zabs=self.zabs[idx],
+            delta=cast(self.delta[idx]),
+            error=cast(self.error[idx]),
+            zabs=cast(self.zabs[idx]),
             mask=self.mask[idx],
-            weight=jnp.ones(idx.shape, self.delta.dtype)
+            weight=jnp.ones(idx.shape, f32)
             if weight is None
-            else weight.astype(self.delta.dtype),
+            else weight.astype(f32),
         )
 
 

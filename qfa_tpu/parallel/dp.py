@@ -148,12 +148,17 @@ def make_dp_epoch_fn(
 
         def batch_step(carry: TrainState, xs):
             b_idx, b_wt = xs
+            # bf16-stored planes (capacity mode) are cast to f32 per batch
+            f32 = jnp.float32
+            cast = lambda x: (
+                x.astype(f32) if x.dtype == jnp.bfloat16 else x
+            )
             batch = SpectraBatch(
-                delta=data.delta[b_idx],
-                error=data.error[b_idx],
-                zabs=data.zabs[b_idx],
+                delta=cast(data.delta[b_idx]),
+                error=cast(data.error[b_idx]),
+                zabs=cast(data.zabs[b_idx]),
                 mask=data.mask[b_idx] * b_wt[:, None],
-                weight=b_wt.astype(data.delta.dtype),
+                weight=b_wt.astype(f32),
             )
             if engine == "pallas":
                 from ..ops.fused_step import fused_loss_grads

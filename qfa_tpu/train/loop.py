@@ -205,12 +205,15 @@ def make_val_fn(val_data: ResidualDataset | None, options) -> Callable | None:
     from ..data.batch import SpectraBatch
     from ..models.qfa import mean_nll
 
+    cast = lambda x: (
+        x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+    )
     val_batch = SpectraBatch(
-        delta=val_data.delta,
-        error=val_data.error,
-        zabs=val_data.zabs,
+        delta=cast(val_data.delta),
+        error=cast(val_data.error),
+        zabs=cast(val_data.zabs),
         mask=val_data.mask,
-        weight=jnp.ones((val_data.size,), val_data.delta.dtype),
+        weight=jnp.ones((val_data.size,), jnp.float32),
     )
     _val_nll = jax.jit(lambda p, b: mean_nll(p, b, options))
 
@@ -429,14 +432,18 @@ def make_sliced_epoch_fn(
 
     @partial(jax.jit, donate_argnums=(0,))
     def epoch_fn(state: TrainState, data: ResidualDataset, offsets: Array):
-        weight = jnp.ones((b,), data.delta.dtype)
+        weight = jnp.ones((b,), jnp.float32)
+        # bf16-stored planes (capacity mode) are cast to f32 per slice
+        cast = lambda x: (
+            x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
+        )
 
         def batch_step(carry: TrainState, off):
             sl = lambda x: jax.lax.dynamic_slice_in_dim(x, off, b, axis=0)
             batch = SpectraBatch(
-                delta=sl(data.delta),
-                error=sl(data.error),
-                zabs=sl(data.zabs),
+                delta=cast(sl(data.delta)),
+                error=cast(sl(data.error)),
+                zabs=cast(sl(data.zabs)),
                 mask=sl(data.mask),
                 weight=weight,
             )

@@ -240,3 +240,32 @@ def test_cli_kill_and_resume_matches_uninterrupted(survey):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
     np.testing.assert_allclose(np.asarray(mua), np.asarray(mub), atol=1e-7)
+
+
+def test_train_cli_bf16_capacity_mode(survey):
+    """TRAIN.BF16_PLANES halves resident plane storage; training still
+    converges through the engine-agnostic f32-at-gather cast."""
+    root, catalog, data_dir, grid = survey
+    out = str(root / "train_bf16_out")
+    main(
+        [
+            "--type", "train",
+            "--catalog", catalog,
+            "--data_dir", data_dir,
+            "--output_dir", out,
+            "--data_num", "32",
+            "--batch_size", "16",
+            "--n_epochs", "2",
+            "--nh", "3",
+            "--learning_rate", "0.01",
+            "--num_mask", "40",
+            "--opts", "TRAIN.WEIGHT_DECAY", "0.0",
+            "TRAIN.BF16_PLANES", "True",
+            *_grid_opts(),
+        ]
+    )
+    params, mu = load_npz(f"{out}/model_parameters.npz")
+    assert params.F.dtype == np.float32  # state stays f32
+    assert np.isfinite(np.asarray(params.F)).all()
+    with open(f"{out}/log.txt") as fh:
+        assert "capacity mode" in fh.read()

@@ -405,3 +405,34 @@ def test_stream_batches_tail_coverage(problem):
         int(np.argmin(np.abs(src - row).sum(axis=1))) for row in served
     )
     assert matched == list(range(37))
+
+
+def test_xla_engines_accept_bf16_planes():
+    """bf16-stored residual planes (capacity mode) run through the XLA
+    epoch engines with f32 arithmetic — losses track the f32 storage run
+    within the data-quantization level."""
+    import qfa_tpu
+    from qfa_tpu.data.loader import ResidualDataset, bf16_planes
+    from qfa_tpu.data.synthetic import generate
+    from qfa_tpu.models import random_init
+    from qfa_tpu.train import TrainConfig, TrainState, adam
+    from qfa_tpu.train.loop import make_epoch_fn
+    from qfa_tpu.data.loader import batch_indices
+
+    grid = qfa_tpu.make_grid(1030.0, 1090.0, 1e-3)
+    true = random_init(jax.random.key(0), grid.npix, grid.nb, 3)
+    mu = jnp.full((grid.npix,), 1.1, jnp.float32)
+    syn = generate(jax.random.key(1), true, mu, grid, 32, mask_frac=0.1)
+    b = syn.to_batch(mu)
+    data = ResidualDataset(delta=b.delta, error=b.error, zabs=b.zabs,
+                           mask=b.mask)
+    cfg = TrainConfig(batch_size=16, learning_rate=1e-2, weight_decay=0.0)
+    idx = batch_indices(jax.random.key(2), 32, 16)
+    p0 = random_init(jax.random.key(3), grid.npix, grid.nb, 3)
+    epoch_fn = make_epoch_fn(cfg)  # donates its TrainState: fresh each run
+    _, loss_f32 = epoch_fn(TrainState(p0, adam.init(p0)), data, idx)
+    p1 = random_init(jax.random.key(3), grid.npix, grid.nb, 3)
+    _, loss_bf = epoch_fn(
+        TrainState(p1, adam.init(p1)), bf16_planes(data), idx
+    )
+    assert float(loss_bf) == pytest.approx(float(loss_f32), rel=2e-2)
