@@ -1,6 +1,7 @@
 """Multi-chip parallelism: mesh construction, data-parallel SPMD training."""
 
 from .dp import dp_train_epoch, make_dp_epoch_fn, shard_dataset, shard_epoch_indices
+from .epoch_dp import epoch_dp_train_epoch, make_epoch_dp_fn
 from .mesh import (
     data_sharding,
     initialize_distributed,
@@ -12,7 +13,9 @@ from .mesh import (
 
 __all__ = [
     "dp_train_epoch",
+    "epoch_dp_train_epoch",
     "make_dp_epoch_fn",
+    "make_epoch_dp_fn",
     "shard_dataset",
     "shard_epoch_indices",
     "data_sharding",

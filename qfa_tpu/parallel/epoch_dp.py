@@ -1,0 +1,157 @@
+"""Multi-chip whole-epoch training: local SGD + per-epoch averaging.
+
+The exact-DP engines (``parallel.dp``) psum gradients every batch, which
+forces per-batch dispatch — the measured 7.8x single-chip overhead the
+whole-epoch Pallas kernel (``ops.epoch_kernel``) exists to remove
+(BENCH_r03 ``dp_overhead_vs_fit_pallas``). This engine keeps the
+single-launch cadence on EVERY chip: each device runs the full fused
+epoch kernel on its own data shard with local batches (one kernel launch
+per device per epoch), then ONE collective per epoch averages parameters
+and Adam moments across the mesh (``pmean``) and psums the loss
+bookkeeping.
+
+This is local SGD with per-epoch model averaging (a.k.a. FedAvg with one
+round per epoch): the trajectory is not bit-identical to exact DP — each
+optimizer step sees 1/ndev of the global batch — but the step COUNT and
+the reference's epoch-loss bookkeeping are preserved, the collective
+volume is ~1 MB of parameters per epoch (vs per batch), and multi-chip
+throughput projects as N x the single-chip whole-epoch rate. The
+reference has no distributed support at all (SURVEY.md section 2,
+"parallelism components"); for bit-exact DP semantics use
+``parallel.dp.make_dp_epoch_fn``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..data.loader import ResidualDataset
+from ..ops.epoch_kernel import fused_train_epoch
+from ..train import adam
+from ..train.loop import TrainConfig, TrainState
+
+Array = jnp.ndarray
+
+__all__ = ["make_epoch_dp_fn", "epoch_dp_train_epoch"]
+
+
+def make_epoch_dp_fn(
+    config: TrainConfig,
+    mesh: Mesh,
+    *,
+    tile_batch: int = 256,
+    derive_mask: bool = False,
+    loglam=None,
+    n_real: int | None = None,
+    interpret: bool = False,
+):
+    """Jitted multi-chip epoch ``(state, data, key) -> (state, loss)``.
+
+    ``data`` must be sharded over the spectrum axis
+    (:func:`parallel.dp.shard_dataset`) with every per-device shard a
+    multiple of ``tile_batch`` and of the LOCAL batch
+    ``config.batch_size // ndev``; the state stays replicated. Each
+    device draws its own tile permutation (device-folded key), runs the
+    whole-epoch kernel on its shard, and the epoch ends with one pmean
+    of parameters + moments and one psum of the per-batch loss sums —
+    the only collectives of the epoch.
+
+    Loss bookkeeping matches the reference
+    (``/root/reference/QFA/model.py:206-213``): per-GLOBAL-batch sums are
+    psum'd across devices before the batch-mean division, so the reported
+    epoch loss is the true global batch-mean sum over
+    ``floor(n_real / batch_size)``.
+    """
+    axis = mesh.axis_names[0]
+    ndev = mesh.devices.size
+    if config.batch_size % ndev:
+        raise ValueError(
+            f"batch size {config.batch_size} not divisible by the "
+            f"{ndev}-device mesh"
+        )
+    b_local = config.batch_size // ndev
+    if b_local % tile_batch and tile_batch > b_local:
+        raise ValueError(
+            f"tile_batch {tile_batch} exceeds the local batch {b_local}"
+        )
+    tb = min(tile_batch, b_local)
+
+    def local_epoch(state: TrainState, data: ResidualDataset, key):
+        n_local = data.delta.shape[0]
+        if n_local % tb or (n_local // tb) % (n_local // b_local):
+            raise ValueError(
+                f"local shard of {n_local} rows not divisible into "
+                f"{n_local // b_local} batches of {b_local} ({tb}-row tiles)"
+            )
+        dev = jax.lax.axis_index(axis)
+        perm = jax.random.permutation(
+            jax.random.fold_in(key, dev), n_local // tb
+        )
+        out = fused_train_epoch(
+            state.params,
+            state.opt_state.m,
+            state.opt_state.v,
+            data.delta,
+            data.error,
+            data.zabs,
+            perm,
+            data.mask,
+            epoch=state.opt_state.epoch,
+            n_batches=n_local // b_local,
+            loglam=loglam,
+            derive_zabs=loglam is not None,
+            tile_batch=tb,
+            learning_rate=config.learning_rate,
+            weight_decay=config.weight_decay,
+            decay_alpha=config.decay_alpha,
+            decay_step=config.decay_step,
+            b1=config.b1,
+            b2=config.b2,
+            eps=config.eps,
+            bounds=config.bounds,
+            tau_which=config.options.tau_which,
+            reference_norm=config.reference_norm,
+            interpret=interpret,
+        )
+        # THE collectives of the epoch: average the model, sum the books
+        params = jax.tree.map(lambda x: jax.lax.pmean(x, axis), out.params)
+        m_avg = jax.tree.map(lambda x: jax.lax.pmean(x, axis), out.m)
+        v_avg = jax.tree.map(lambda x: jax.lax.pmean(x, axis), out.v)
+        loss_sums = jax.lax.psum(out.loss_sums, axis)
+        n_real_b = jax.lax.psum(out.n_real, axis)
+        new_state = TrainState(
+            params,
+            adam.AdamState(m=m_avg, v=v_avg, epoch=state.opt_state.epoch + 1),
+        )
+        n_total = n_local * ndev if n_real is None else n_real
+        batch_means = loss_sums / jnp.maximum(n_real_b, 1.0)
+        loss = jnp.sum(batch_means) / max(n_total // config.batch_size, 1)
+        return new_state, loss
+
+    rep = P()
+    sharded = jax.shard_map(
+        local_epoch,
+        mesh=mesh,
+        in_specs=(rep, P(axis, None), rep),
+        out_specs=(rep, rep),
+        check_vma=False,
+    )
+    return jax.jit(sharded)
+
+
+def epoch_dp_train_epoch(
+    state: TrainState,
+    data: ResidualDataset,
+    key: jax.Array,
+    config: TrainConfig,
+    mesh: Mesh,
+    epoch_fn=None,
+    **kwargs,
+) -> tuple[TrainState, float]:
+    """Run one multi-chip whole-epoch-kernel epoch; returns (state, loss)."""
+    if epoch_fn is None:
+        epoch_fn = make_epoch_dp_fn(config, mesh, **kwargs)
+    state, loss = epoch_fn(state, data, key)
+    return state, float(loss)
