@@ -194,7 +194,7 @@ def calibrate_vpu():
     shape = (256, 1024)
     elems = shape[0] * shape[1]
     body_reps = 8  # reps per carry per loop iteration
-    lanes = 8  # independent chains: throughput (ILP) peak, not ALU latency
+    lanes = 4  # independent chains: throughput (ILP) peak, not ALU latency
 
     OPS = ("fma", "exp", "log", "div")
 
@@ -431,6 +431,42 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         failures["dp"] = f"{type(e).__name__}: {str(e)[:200]}"
 
+    # ---- multi-chip WHOLE-EPOCH engine on a 1-device mesh -----------------
+    # (local SGD + per-epoch pmean): shows multi-chip keeps the single-
+    # launch cadence — rate ~= the headline engine, unlike per-step DP.
+    stage("whole-epoch dp (1-device mesh)")
+    edp_rate = None
+    try:
+        from qfa_tpu.parallel import (
+            make_epoch_dp_fn,
+            make_mesh,
+            shard_dataset,
+        )
+
+        mesh1 = make_mesh(1)
+        edp_fn = make_epoch_dp_fn(
+            TrainConfig(batch_size=batch_size), mesh1, tile_batch=tile,
+            loglam=loglam_row(grid.wav),
+        )
+        edp_data = shard_dataset(data, mesh1)
+        edp_state = TrainState(
+            random_init(jax.random.key(23), grid.npix, grid.nb, nh),
+            adam.init(params),
+        )
+        edp_state, edp_loss = edp_fn(edp_state, edp_data,
+                                     jax.random.key(40))
+        _ = float(edp_loss)
+        t0 = time.perf_counter()
+        for trial in range(4):
+            edp_state, edp_loss = edp_fn(
+                edp_state, edp_data, jax.random.key(41 + trial)
+            )
+        _ = float(edp_loss)
+        edp_rate = n_spectra / ((time.perf_counter() - t0) / 4)
+        del edp_data, edp_state
+    except Exception as e:  # noqa: BLE001
+        failures["epoch_dp"] = f"{type(e).__name__}: {str(e)[:200]}"
+
     # ---- inference throughput: fused single-launch prediction kernel ------
     # (production layout: zq column + in-kernel mask)
     stage("fused inference")
@@ -665,6 +701,13 @@ def main() -> None:
             "dp_overhead_vs_fit_pallas": _r(
                 None if dp_rate is None else train_rate / dp_rate, 2
             ),
+            "whole_epoch_dp_spectra_per_sec": _r(edp_rate),
+            "whole_epoch_dp_note": "local-SGD engine (parallel.epoch_dp): "
+                                   "one fused-epoch launch per device + "
+                                   "one pmean per epoch, so multi-chip "
+                                   "throughput projects as N x this rate "
+                                   "(~= the headline engine), unlike the "
+                                   "per-step exact-DP cadence above",
             "infer_engine": "fused single-launch Pallas prediction kernel",
             "infer_spectra_per_sec": _r(infer_rate),
             "infer_vs_baseline": _r(

@@ -228,7 +228,7 @@ def run_train(cfg: ConfigNode) -> None:
     mesh = _build_mesh(cfg, cfg.DATA.BATCH_SIZE, logger)
     engine = cfg.TRAIN.ENGINE
     use_pallas = False
-    if mesh is None and engine in ("auto", "pallas"):
+    if engine in ("auto", "pallas"):
         from .utils import is_tpu
 
         if is_tpu():
@@ -239,7 +239,12 @@ def run_train(cfg: ConfigNode) -> None:
                 "falling back to the XLA trainer"
             )
     if use_pallas:
-        logger.info("trainer engine: fused whole-epoch Pallas kernel")
+        logger.info(
+            "trainer engine: fused whole-epoch Pallas kernel%s",
+            "" if mesh is None else
+            f" (multi-chip local SGD over {mesh.devices.size} devices; "
+            "set TRAIN.ENGINE=xla for exact per-step DP)",
+        )
     train_cfg = TrainConfig(
         n_epochs=cfg.TRAIN.NEPOCHS,
         batch_size=cfg.DATA.BATCH_SIZE,
@@ -295,7 +300,7 @@ def run_train(cfg: ConfigNode) -> None:
                 )
             params, history = fit_pallas(
                 params, residuals, mu, train_cfg, val_data=val_residuals,
-                **pallas_kwargs, **fit_kwargs,
+                mesh=mesh, **pallas_kwargs, **fit_kwargs,
             )
         else:
             params, history = fit(

@@ -44,11 +44,19 @@ __all__ = [
 
 
 def shard_dataset(data: ResidualDataset, mesh: Mesh) -> ResidualDataset:
-    """Place the resident dataset sharded along the spectrum axis."""
+    """Place the resident dataset sharded along the spectrum axis.
+
+    ``None`` leaves (e.g. the dropped mask of the derive-mask production
+    layout) pass through.
+    """
     axis = mesh.axis_names[0]
 
     def put(x):
-        return jax.device_put(x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1)))))
+        if x is None:
+            return None
+        return jax.device_put(
+            x, NamedSharding(mesh, P(axis, *([None] * (x.ndim - 1))))
+        )
 
     return ResidualDataset(*(put(leaf) for leaf in data))
 

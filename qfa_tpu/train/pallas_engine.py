@@ -202,6 +202,7 @@ def fit_pallas(
     save_full_state: bool = True,
     derive_mask: bool = False,
     loglam=None,
+    mesh=None,
     interpret: bool = False,
 ) -> tuple[QFAParams, list]:
     """Full training run on the single-launch epoch engine.
@@ -214,6 +215,14 @@ def fit_pallas(
     trains. ``reshuffle_interval > 0`` physically permutes the resident
     rows every K epochs (tile composition otherwise fixed; tile-to-batch
     assignment is random every epoch).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the run switches to the
+    multi-chip whole-epoch engine (``parallel.epoch_dp``): the dataset is
+    sharded over the spectrum axis, every device runs the fused epoch
+    kernel on its shard (local SGD), and one pmean of parameters + Adam
+    moments closes each epoch. All epoch-boundary amenities (NaN
+    rollback, smoothing, checkpoints, early stop, resume) apply
+    unchanged. ``reshuffle_interval`` is not supported with a mesh.
     """
     key = jax.random.key(0) if key is None else key
     state = (
@@ -277,6 +286,16 @@ def fit_pallas(
                 for leaf in data
             )
         )
+    if mesh is not None:
+        if reshuffle_interval:
+            raise ValueError(
+                "reshuffle_interval is not supported with a mesh (the "
+                "shards reshuffle locally via the per-device tile "
+                "permutation)"
+            )
+        from ..parallel.dp import shard_dataset
+
+        data = shard_dataset(data, mesh)
     history: list = []
 
     from .loop import make_val_fn
@@ -317,6 +336,30 @@ def fit_pallas(
                 data, jax.random.fold_in(sub_past, 1), donate=owns_buffers
             )
             owns_buffers = True
+    if mesh is not None:
+        from ..parallel.epoch_dp import make_epoch_dp_fn
+
+        tb_dp = tile_batch or pick_tile_batch(
+            config.batch_size // mesh.devices.size, data.delta.shape[1]
+        )
+        dp_epoch_fn = make_epoch_dp_fn(
+            config, mesh, tile_batch=tb_dp, loglam=loglam, n_real=n_real,
+            interpret=interpret,
+        )
+
+        def run_epoch(state, sub):
+            st, loss = dp_epoch_fn(state, data, sub)
+            return st, float(loss)
+
+    else:
+
+        def run_epoch(state, sub):
+            return pallas_train_epoch(
+                state, data, sub, config, tile_batch=tile_batch,
+                derive_mask=derive_mask, loglam=loglam, n_real=n_real,
+                interpret=interpret,
+            )
+
     for epoch in range(start_epoch, config.n_epochs):
         sub = jax.random.fold_in(key, epoch)
         if reshuffle_interval and epoch and epoch % reshuffle_interval == 0:
@@ -327,11 +370,7 @@ def fit_pallas(
             owns_buffers = True
         t0 = time.perf_counter()
         prev_state = state  # rollback anchor (the epoch fn does not donate)
-        state, loss = pallas_train_epoch(
-            state, data, sub, config, tile_batch=tile_batch,
-            derive_mask=derive_mask, loglam=loglam, n_real=n_real,
-            interpret=interpret,
-        )
+        state, loss = run_epoch(state, sub)
         dt = time.perf_counter() - t0
         history.append(loss)
         if config.reject_nonfinite and not np.isfinite(loss):

@@ -287,3 +287,50 @@ def test_epoch_dp_global_loss_bookkeeping(problem):
     )
     expected = float(mean_nll(fresh_state(grid).params, batch))
     assert float(loss) == pytest.approx(expected, rel=1e-5)
+
+
+def test_fit_pallas_mesh_end_to_end(problem, tmp_path):
+    """fit_pallas(mesh=...) drives the multi-chip whole-epoch engine with
+    all the epoch-boundary amenities: checkpoints, resume, early-stop
+    machinery, tail-batch padding — on a 2-device mesh in the production
+    zq-column layout."""
+    import os
+
+    from qfa_tpu.ops import loglam_row, zq_column
+    from qfa_tpu.train import fit_pallas
+    from qfa_tpu.train.checkpoint import latest_checkpoint, load_state
+    from qfa_tpu.data.synthetic import generate
+
+    grid = qfa_tpu.make_grid(1030.0, 1080.0, 1e-3)
+    true = random_init(jax.random.key(0), grid.npix, grid.nb, 4)
+    mu = jnp.ones((grid.npix,), jnp.float32)
+    syn = generate(jax.random.key(1), true, mu, grid, 120, mask_frac=0.15)
+    b = syn.to_batch(mu)
+    # production layout; 120 rows with batch 32 -> padded to 128 (the zq
+    # weight lane keeps the 8 pad rows out of n_real)
+    data = ResidualDataset(
+        delta=b.delta * b.mask, error=b.error * b.mask,
+        zabs=zq_column(syn.zqso), mask=None,
+    )
+    mesh = make_mesh(2)
+    cfg = TrainConfig(n_epochs=3, batch_size=32, learning_rate=1e-2,
+                      weight_decay=0.0, smooth_interval=2, save_interval=2)
+    p0 = random_init(jax.random.key(5), grid.npix, grid.nb, 4)
+    out = str(tmp_path / "mesh_fit")
+    kw = dict(key=jax.random.key(6), tile_batch=8, derive_mask=True,
+              loglam=loglam_row(grid.wav), mesh=mesh, interpret=True)
+    params, hist = fit_pallas(p0, data, mu, cfg, output_dir=out, **kw)
+    assert len(hist) == 3 and np.isfinite(hist).all()
+    assert hist[-1] < hist[0]
+    assert os.path.exists(f"{out}/checkpoints/state_epoch_02.npz")
+
+    # resume from the snapshot -> continues (same engine, same mesh)
+    st, _ = load_state(latest_checkpoint(f"{out}/checkpoints"))
+    assert int(st.opt_state.epoch) == 2
+    params_b, hist_b = fit_pallas(None, data, mu, cfg, initial_state=st,
+                                  **kw)
+    assert len(hist_b) == 1
+    assert hist_b[0] == pytest.approx(hist[2], rel=1e-5)
+
+    with pytest.raises(ValueError, match="reshuffle_interval"):
+        fit_pallas(p0, data, mu, cfg, reshuffle_interval=2, **kw)
