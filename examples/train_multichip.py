@@ -50,10 +50,12 @@ def main() -> None:
 
     ap = argparse.ArgumentParser()
     ap.add_argument(
-        "--engine", choices=("xla", "pallas"), default="xla",
-        help="per-step compute engine inside the shard_map epoch: the XLA "
-             "autodiff path (default) or the fused per-step Pallas kernel "
-             "(interpret mode on CPU meshes)",
+        "--engine", choices=("xla", "pallas", "epoch"), default="xla",
+        help="'xla' (default) / 'pallas': exact per-step DP with one psum "
+             "per batch, computed by XLA autodiff or the fused per-step "
+             "Pallas kernel; 'epoch': the multi-chip WHOLE-EPOCH engine "
+             "(one fused-epoch launch per device + one pmean per epoch — "
+             "local SGD; the production cadence)",
     )
     args = ap.parse_args()
 
@@ -84,19 +86,30 @@ def main() -> None:
         weight_decay=0.0, smooth_interval=1000, save_interval=1000,
         stop_on_negative_loss=False,
     )
-    epoch_fn = make_dp_epoch_fn(
-        config, mesh, engine=args.engine, tile_batch=64,
-        interpret=jax.devices()[0].platform == "cpu",
-    )
+    interpret = jax.devices()[0].platform == "cpu"
+    if args.engine == "epoch":
+        from qfa_tpu.parallel import make_epoch_dp_fn
+
+        epoch_fn = make_epoch_dp_fn(
+            config, mesh, tile_batch=64, interpret=interpret
+        )
+    else:
+        epoch_fn = make_dp_epoch_fn(
+            config, mesh, engine=args.engine, tile_batch=64,
+            interpret=interpret,
+        )
     params = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
     state = TrainState(params, adam.init(params))
 
     key = jax.random.key(3)
     for epoch in range(config.n_epochs):
         key, sub = jax.random.split(key)
-        idx = shard_epoch_indices(sub, n, config.batch_size, mesh)
         t0 = time.perf_counter()
-        state, loss = epoch_fn(state, sharded, idx)
+        if args.engine == "epoch":
+            state, loss = epoch_fn(state, sharded, sub)
+        else:
+            idx = shard_epoch_indices(sub, n, config.batch_size, mesh)
+            state, loss = epoch_fn(state, sharded, idx)
         jax.block_until_ready(state.params.F)
         dt = time.perf_counter() - t0
         print(
