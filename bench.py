@@ -455,16 +455,21 @@ def main() -> None:
             TrainConfig(batch_size=batch_size), mesh1, tile_batch=tile,
             loglam=loglam_row(grid.wav),
         )
+        from jax.sharding import NamedSharding, PartitionSpec
+
         edp_data = shard_dataset(data, mesh1)
-        edp_state = TrainState(
-            random_init(jax.random.key(23), grid.npix, grid.nb, nh),
-            adam.init(params),
+        edp_state = jax.device_put(
+            TrainState(
+                random_init(jax.random.key(23), grid.npix, grid.nb, nh),
+                adam.init(params),
+            ),
+            NamedSharding(mesh1, PartitionSpec()),
         )
         edp_state, edp_loss = edp_fn(edp_state, edp_data,
                                      jax.random.key(40))
         _ = float(edp_loss)
         t0 = time.perf_counter()
-        for trial in range(4):
+        for trial in range(4):  # chained; one sync closes the window
             edp_state, edp_loss = edp_fn(
                 edp_state, edp_data, jax.random.key(41 + trial)
             )

@@ -337,8 +337,14 @@ def fit_pallas(
             )
             owns_buffers = True
     if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
         from ..parallel.epoch_dp import make_epoch_dp_fn
 
+        # place the state replicated on the mesh UP FRONT: the epoch fn
+        # returns mesh-replicated state, so an unsharded initial state
+        # would force a second compile on the second epoch
+        state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
         tb_dp = tile_batch or pick_tile_batch(
             config.batch_size // mesh.devices.size, data.delta.shape[1]
         )
