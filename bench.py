@@ -52,7 +52,7 @@ def kernel_flops_per_spectrum(p: int, pb: int, rc: int, nh: int) -> float:
     return 2.0 * (p * (2 * rc + 3 + (ntri + nh) + 2 * rc) + pb)
 
 
-def kernel_vpu_ops_per_spectrum(p: int, pb: int, tb: int, nh: int) -> dict:
+def kernel_vpu_ops_per_spectrum(p: int, pb: int, nh: int) -> dict:
     """Analytic per-spectrum VPU op counts for the production epoch kernel
     (derive_zabs + derive_mask, blue-restricted path) — a statement walk of
     ops/epoch_kernel._epoch_kernel, the elementwise analogue of the MXU
@@ -69,7 +69,8 @@ def kernel_vpu_ops_per_spectrum(p: int, pb: int, tb: int, nh: int) -> dict:
     * small per-spectrum linear algebra (unrolled Cholesky, solves, S
       build): ~3.3 nh^3 (1, TB)-shaped vector ops per tile; a (1, TB) op
       uses 1 of 8 sublanes, so its cost at ALU peak is 8x its element
-      count -> ~ 3.3 nh^3 * 8 equivalent element-ops per spectrum.
+      count -> ~ 3.3 nh^3 * 8 equivalent element-ops per spectrum
+      (the tile size TB cancels: ops-per-tile / spectra-per-tile).
     """
     simple = 39 * pb + 1 * (p - pb) + 26 * p
     smallwork = int(3.3 * nh**3) * 8
@@ -653,7 +654,7 @@ def main() -> None:
         if any(v is None for v in vpu_peaks.values()):
             return {"note": "vpu calibration incomplete (a per-op delta "
                             "came back non-positive under tunnel jitter)"}
-        counts = kernel_vpu_ops_per_spectrum(p, pb, tile, nh)
+        counts = kernel_vpu_ops_per_spectrum(p, pb, nh)
         t_mxu = fps / (peak_tflops * 1e12)
         t_vpu = (
             counts["simple"] / vpu_peaks["fma"]
@@ -774,7 +775,7 @@ def main() -> None:
                     for k, v in vpu_peaks.items()
                 },
                 "vpu_ops_per_spectrum": kernel_vpu_ops_per_spectrum(
-                    p, pb, tile, nh
+                    p, pb, nh
                 ),
                 "binding_headline_epoch": binding_block(train_rate),
                 "binding_survey_scale": binding_block(big_rate),

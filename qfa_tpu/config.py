@@ -171,10 +171,13 @@ def default_config() -> ConfigNode:
                 #: resume from the newest full-state checkpoint (params +
                 #: Adam moments + epoch) found in OUTPUT_DIR/checkpoints.
                 "AUTO_RESUME": True,
-                #: trainer engine: "auto" picks the fused whole-epoch Pallas
-                #: kernel on a single TPU and the XLA scan epoch elsewhere
-                #: (multi-device meshes always use the XLA SPMD path);
-                #: "pallas" / "xla" force one.
+                #: trainer engine: "auto"/"pallas" pick the fused
+                #: whole-epoch Pallas kernel on TPU — on a multi-device
+                #: mesh that is the multi-chip whole-epoch engine (local
+                #: SGD: one launch per device + one pmean per epoch,
+                #: parallel/epoch_dp.py). "xla" forces the XLA scan epoch;
+                #: with a mesh that is EXACT per-step DP (one gradient
+                #: psum per batch, parallel/dp.py).
                 "ENGINE": "auto",
                 #: capacity mode: store the resident delta/error planes as
                 #: bfloat16 (half the HBM footprint, ~1.5M SDSS spectra per

@@ -49,6 +49,7 @@ __all__ = [
     "estimate_mu",
     "make_residuals",
     "ResidualDataset",
+    "as_f32",
     "bf16_planes",
     "batch_indices",
     "EpochIndices",
@@ -287,17 +288,27 @@ class ResidualDataset(NamedTuple):
         capacity mode) are cast to f32 here, so every engine computes in
         f32 regardless of the storage dtype.
         """
-        f32 = jnp.float32
-        cast = lambda x: x.astype(f32) if x.dtype == jnp.bfloat16 else x
         return SpectraBatch(
-            delta=cast(self.delta[idx]),
-            error=cast(self.error[idx]),
-            zabs=cast(self.zabs[idx]),
+            delta=as_f32(self.delta[idx]),
+            error=as_f32(self.error[idx]),
+            zabs=as_f32(self.zabs[idx]),
             mask=self.mask[idx],
-            weight=jnp.ones(idx.shape, f32)
+            weight=jnp.ones(idx.shape, jnp.float32)
             if weight is None
-            else weight.astype(f32),
+            else weight.astype(jnp.float32),
         )
+
+
+def as_f32(x: Array | None) -> Array | None:
+    """Promote bfloat16-STORED arrays (capacity mode) back to f32.
+
+    The single cast rule every engine shares: storage may be bf16
+    (:func:`bf16_planes`), arithmetic is always f32. No-op for any other
+    dtype and for ``None`` leaves.
+    """
+    if x is None or x.dtype != jnp.bfloat16:
+        return x
+    return x.astype(jnp.float32)
 
 
 def bf16_planes(data: ResidualDataset) -> ResidualDataset:

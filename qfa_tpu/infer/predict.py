@@ -103,7 +103,7 @@ def predict_dataset_fused(
     """Predict a host dataset through the single-launch Pallas kernel.
 
     ``tile_batch=None`` picks the npix-aware VMEM-safe tile
-    (``ops.infer_kernel.default_tile_batch``): 256 at SDSS width, 64 on
+    (``ops.infer_kernel.default_tile_batch``): 256 at SDSS width, 128 on
     DESI-scale grids — a fixed 256 would fail to compile at Npix ~ 9.3k.
 
     One kernel launch per ``chunk`` spectra (the tail chunk is padded with

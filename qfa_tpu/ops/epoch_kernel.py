@@ -281,8 +281,12 @@ def _epoch_kernel(
     # elementwise work (4 exps + ~15 VPU ops per pixel) to the first
     # pb = round_up(nb, 128) lanes cuts the dominant VPU cost on
     # production grids (SDSS: 768 of 1920 lanes; DESI: 2304 of 9344).
-    # When pb == p (all-blue test grids) the unrestricted path is used.
-    split = pb < p_lanes
+    # When pb == p (all-blue test grids) — or pb == 0 (a red-only grid,
+    # where zero-width slices would not lower) — the unrestricted path is
+    # used.
+    split = 0 < pb < p_lanes
+    if not split:
+        pb = p_lanes  # downstream [:pb] slices become full-width
     blue_b = blue[:, :pb] if split else blue
     if derive_zabs:
         # zabs never touches HBM: the (TB, lanes) input carries only

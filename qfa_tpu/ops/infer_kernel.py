@@ -128,8 +128,10 @@ def _predict_kernel(
 
     # Blue-restricted absorption chain (see ops.epoch_kernel): the tau
     # elementwise work + its exps run on the first pb = round_up(nb, 128)
-    # lanes only; red lanes have amp = 1, zdep = 0.
-    split = pb < p_lanes
+    # lanes only; red lanes have amp = 1, zdep = 0. pb == 0 (red-only
+    # grid) falls back to the unrestricted path (zero-width slices would
+    # not lower).
+    split = 0 < pb < p_lanes
     blue_b = blue[:, :pb] if split else blue
     if derive_zabs:
         # zabs_ref carries only the (TB, lanes) zq column (lane 0 =
@@ -290,9 +292,9 @@ def fused_predict(
 
     ``N`` must be a multiple of ``tile_batch`` (pad with zero rows — they
     come back as inert all-masked outputs); ``tile_batch=None`` picks the
-    npix-aware VMEM-safe default (:func:`default_tile_batch` — 64 at DESI
-    width). ``mask=None`` derives the mask from ``error > 0`` (the data
-    layer sanitizes masked pixels to 0).
+    npix-aware VMEM-safe default (:func:`default_tile_batch` — 128 at
+    DESI width). ``mask=None`` derives the mask from ``error > 0`` (the
+    data layer sanitizes masked pixels to 0).
     ``derive_zabs=True`` takes the ``(N, 128)`` :func:`~qfa_tpu.ops.zq_column`
     buffer in place of the ``(N, Npix)`` zabs plane (plus ``loglam`` =
     :func:`~qfa_tpu.ops.loglam_row`), rebuilding absorber redshifts

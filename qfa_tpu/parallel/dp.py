@@ -155,18 +155,16 @@ def make_dp_epoch_fn(
         wts = ei.weight[0]
 
         def batch_step(carry: TrainState, xs):
+            from ..data.loader import as_f32
+
             b_idx, b_wt = xs
             # bf16-stored planes (capacity mode) are cast to f32 per batch
-            f32 = jnp.float32
-            cast = lambda x: (
-                x.astype(f32) if x.dtype == jnp.bfloat16 else x
-            )
             batch = SpectraBatch(
-                delta=cast(data.delta[b_idx]),
-                error=cast(data.error[b_idx]),
-                zabs=cast(data.zabs[b_idx]),
+                delta=as_f32(data.delta[b_idx]),
+                error=as_f32(data.error[b_idx]),
+                zabs=as_f32(data.zabs[b_idx]),
                 mask=data.mask[b_idx] * b_wt[:, None],
-                weight=b_wt.astype(f32),
+                weight=b_wt.astype(jnp.float32),
             )
             if engine == "pallas":
                 from ..ops.fused_step import fused_loss_grads

@@ -42,7 +42,6 @@ def make_epoch_dp_fn(
     mesh: Mesh,
     *,
     tile_batch: int = 256,
-    derive_mask: bool = False,
     loglam=None,
     n_real: int | None = None,
     interpret: bool = False,
@@ -52,7 +51,9 @@ def make_epoch_dp_fn(
     ``data`` must be sharded over the spectrum axis
     (:func:`parallel.dp.shard_dataset`) with every per-device shard a
     multiple of ``tile_batch`` and of the LOCAL batch
-    ``config.batch_size // ndev``; the state stays replicated. Each
+    ``config.batch_size // ndev``; the state stays replicated. A ``None``
+    mask leaf selects the in-kernel derived-mask layout (masked pixels
+    must carry ``error == 0``), exactly as in ``fused_train_epoch``. Each
     device draws its own tile permutation (device-folded key), runs the
     whole-epoch kernel on its shard, and the epoch ends with one pmean
     of parameters + moments and one psum of the per-batch loss sums —
@@ -72,11 +73,12 @@ def make_epoch_dp_fn(
             f"{ndev}-device mesh"
         )
     b_local = config.batch_size // ndev
-    if b_local % tile_batch and tile_batch > b_local:
-        raise ValueError(
-            f"tile_batch {tile_batch} exceeds the local batch {b_local}"
-        )
     tb = min(tile_batch, b_local)
+    if b_local % tb:
+        raise ValueError(
+            f"tile_batch {tb} does not divide the local batch {b_local} "
+            f"(global batch {config.batch_size} over {ndev} devices)"
+        )
 
     def local_epoch(state: TrainState, data: ResidualDataset, key):
         n_local = data.delta.shape[0]

@@ -110,8 +110,23 @@ def resolve_tau(tau_spec) -> str | Callable[[Array], Array]:
         get_tau_law(tau_spec)  # validate the name
         return tau_spec
     if isinstance(tau_spec, functools.partial):
+        # Only the reference dispatcher idiom resolves to a name: the
+        # wrapped function must BE a tau dispatcher (ours, or a
+        # same-named one like the reference's utils.tau) and the partial
+        # must pin nothing beyond which= and the Ly-alpha series —
+        # a partial of a USER callable keeps the callable (anything else
+        # would silently swap the user's physics for a built-in law).
+        func = tau_spec.func
         which = tau_spec.keywords.get("which")
-        if isinstance(which, str):
+        extras = set(tau_spec.keywords) - {"which", "series"}
+        dispatcher = func is tau or getattr(func, "__name__", "") == "tau"
+        if (
+            dispatcher
+            and isinstance(which, str)
+            and not tau_spec.args
+            and not extras
+            and tau_spec.keywords.get("series", 1) == 1
+        ):
             get_tau_law(which)
             return which
     for name, fn in TAU_LAWS.items():

@@ -205,13 +205,12 @@ def make_val_fn(val_data: ResidualDataset | None, options) -> Callable | None:
     from ..data.batch import SpectraBatch
     from ..models.qfa import mean_nll
 
-    cast = lambda x: (
-        x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
-    )
+    from ..data.loader import as_f32
+
     val_batch = SpectraBatch(
-        delta=cast(val_data.delta),
-        error=cast(val_data.error),
-        zabs=cast(val_data.zabs),
+        delta=as_f32(val_data.delta),
+        error=as_f32(val_data.error),
+        zabs=as_f32(val_data.zabs),
         mask=val_data.mask,
         weight=jnp.ones((val_data.size,), jnp.float32),
     )
@@ -432,18 +431,17 @@ def make_sliced_epoch_fn(
 
     @partial(jax.jit, donate_argnums=(0,))
     def epoch_fn(state: TrainState, data: ResidualDataset, offsets: Array):
+        from ..data.loader import as_f32
+
         weight = jnp.ones((b,), jnp.float32)
-        # bf16-stored planes (capacity mode) are cast to f32 per slice
-        cast = lambda x: (
-            x.astype(jnp.float32) if x.dtype == jnp.bfloat16 else x
-        )
 
         def batch_step(carry: TrainState, off):
             sl = lambda x: jax.lax.dynamic_slice_in_dim(x, off, b, axis=0)
+            # bf16-stored planes (capacity mode) are cast to f32 per slice
             batch = SpectraBatch(
-                delta=cast(sl(data.delta)),
-                error=cast(sl(data.error)),
-                zabs=cast(sl(data.zabs)),
+                delta=as_f32(sl(data.delta)),
+                error=as_f32(sl(data.error)),
+                zabs=as_f32(sl(data.zabs)),
                 mask=sl(data.mask),
                 weight=weight,
             )

@@ -379,13 +379,17 @@ def fit_pallas(
         state, loss = run_epoch(state, sub)
         dt = time.perf_counter() - t0
         history.append(loss)
-        if config.reject_nonfinite and not np.isfinite(loss):
+        rejected = config.reject_nonfinite and not np.isfinite(loss)
+        if rejected:
             # Epoch-granular guard_nonfinite (the in-kernel optimizer has
             # no per-step rejection): a poisoned epoch must not corrupt
             # parameters, Adam moments, or any later checkpoint. Roll back
             # params + moments to the pre-epoch state; keep the advanced
             # epoch counter so the schedule/trajectory bookkeeping matches
             # the XLA engines' "rejected step still counts" semantics.
+            # Epoch-boundary actions below (interval smoothing, checkpoint
+            # save) still run on the restored — valid — state, like an
+            # XLA-engine epoch whose poisoned steps were rejected.
             state = TrainState(
                 prev_state.params,
                 adam.AdamState(
@@ -400,11 +404,12 @@ def fit_pallas(
                     "rejected, parameters and moments rolled back",
                     epoch, loss,
                 )
-            if metrics_cb is not None:
-                metrics_cb(epoch, loss, dt)
-            continue
-        val_loss = None if val_fn is None else float(val_fn(state.params))
-        if logger is not None:
+        val_loss = (
+            None
+            if val_fn is None or rejected
+            else float(val_fn(state.params))
+        )
+        if logger is not None and not rejected:
             msg = (
                 f"epoch: {epoch:03d}/{config.n_epochs:03d}  ;  "
                 f"loss:  {loss:.2f}  ;  time:  {dt:.2f} s"

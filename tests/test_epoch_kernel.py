@@ -527,7 +527,7 @@ def test_derive_zabs_rejects_zabs_plane():
         _validate_zq(plane, loglam_row(jnp.linspace(1040.0, 1100.0, 256)), 8)
 
 
-def test_fit_pallas_rejects_nonfinite_epoch(problem, caplog):
+def test_fit_pallas_rejects_nonfinite_epoch(problem, caplog, tmp_path):
     """A poisoned epoch (inf in the data) must leave the state untouched
     and the run alive on the production engine — epoch-granular
     guard_nonfinite semantics (train/loop.py:60-73)."""
@@ -541,14 +541,18 @@ def test_fit_pallas_rejects_nonfinite_epoch(problem, caplog):
         delta=data.delta.at[3, 10].set(jnp.inf),
         error=data.error, zabs=data.zabs, mask=data.mask,
     )
+    import os
+
     cfg = TrainConfig(n_epochs=2, batch_size=32, learning_rate=1e-2,
-                      weight_decay=0.0, smooth_interval=1, save_interval=100)
+                      weight_decay=0.0, smooth_interval=100,
+                      save_interval=2)
     p0 = random_init(jax.random.key(5), grid.npix, grid.nb, nh)
     logger = logging.getLogger("test_nonfinite_epoch")
+    out = str(tmp_path / "nan_guard")
     with caplog.at_level(logging.WARNING, logger=logger.name):
         params, history = fit_pallas(
             p0, poisoned, mu, cfg, key=jax.random.key(6), tile_batch=8,
-            logger=logger, interpret=True,
+            logger=logger, output_dir=out, interpret=True,
         )
     assert len(history) == 2 and not np.isfinite(history).any()
     # every epoch was rejected: parameters identical to the init
@@ -556,6 +560,12 @@ def test_fit_pallas_rejects_nonfinite_epoch(problem, caplog):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     rejects = [r for r in caplog.records if "rolled back" in r.message]
     assert len(rejects) == 2
+    # boundary actions still run on the restored state: the interval
+    # checkpoint exists and holds the (finite) rolled-back parameters
+    ckpt = f"{out}/checkpoints/model_parameters_epoch_02.npz"
+    assert os.path.exists(ckpt)
+    saved = np.load(ckpt)
+    np.testing.assert_array_equal(saved["F"], np.asarray(p0.F))
 
     # reject_nonfinite=False preserves the old train-through behavior
     cfg_off = cfg.__class__(**{**cfg.__dict__, "reject_nonfinite": False})

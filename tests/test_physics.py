@@ -155,3 +155,29 @@ def test_resolve_tau_forms():
         resolve_tau(partial(tau, which="nope"))
     with pytest.raises(TypeError):
         resolve_tau(123)
+
+
+def test_resolve_tau_never_substitutes_user_callables():
+    """A partial over a USER function — even one carrying which= — must
+    keep the user's physics, and a non-default series cannot be collapsed
+    to a Ly-alpha law name (code-review r3 finding)."""
+    from functools import partial
+
+    from qfa_tpu.physics.tau import resolve_tau, tau
+
+    def my_tau(z, which="becker"):
+        return 0.0 * z + 42.0
+
+    spec = partial(my_tau, which="becker")
+    resolved = resolve_tau(spec)
+    assert callable(resolved) and resolved is spec  # NOT "becker"
+    assert float(resolved(1.0)) == 42.0
+
+    # the dispatcher with a pinned non-alpha series stays a callable too
+    spec2 = partial(tau, which="fg", series=2)
+    assert callable(resolve_tau(spec2))
+    # positional args also block name recovery
+    import jax.numpy as jnp
+
+    spec3 = partial(tau, jnp.asarray(2.0))
+    assert callable(resolve_tau(spec3))
