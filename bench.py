@@ -243,11 +243,11 @@ def calibrate_vpu():
         )(sel, x)
     )
 
-    # (i1, i2) per op, i2 >> i1 so the slope dwarfs dispatch noise; a
-    # peak is a CEILING, so each endpoint takes the min (least-contended
-    # run) over several trials — the shared tunnel adds ms-scale jitter
-    iters = {"fma": (120, 1080), "exp": (40, 360), "log": (40, 360),
-             "div": (40, 360)}
+    # (i1, i2) per op, sized so the COMPUTE delta (~50-150 ms) dwarfs the
+    # tunnel's 20-40 ms per-dispatch RTT jitter — smaller gaps measured
+    # noise, not ALUs (negative deltas under congestion)
+    iters = {"fma": (1000, 15000), "exp": (200, 2600), "log": (200, 2600),
+             "div": (200, 2200)}
     ops_per_rep = {"fma": 2.0, "exp": 1.0, "log": 1.0, "div": 1.0}
     peaks = {}
     base = jax.random.uniform(jax.random.key(17), shape, jnp.float32,
@@ -270,7 +270,7 @@ def calibrate_vpu():
         # min-of-endpoints difference lets through
         deltas = sorted(
             timed_run(op_id, i2, 11 + k) - timed_run(op_id, i1, 1 + k)
-            for k in range(5)
+            for k in range(3)
         )
         delta = deltas[len(deltas) // 2]
         d_ops = (i2 - i1) * body_reps * lanes * ops_per_rep[op] * elems
