@@ -194,7 +194,9 @@ def calibrate_vpu():
 
     shape = (256, 1024)
     elems = shape[0] * shape[1]
-    body_reps = 8  # reps per carry per loop iteration
+    body_reps = 32  # reps per carry per iteration: the loop carries
+    # round-trip VMEM once per iteration, so the in-register chain must
+    # be long enough that this traffic is noise, not half the time
     lanes = 4  # independent chains: throughput (ILP) peak, not ALU latency
 
     OPS = ("fma", "exp", "log", "div")
@@ -246,8 +248,8 @@ def calibrate_vpu():
     # (i1, i2) per op, sized so the COMPUTE delta (~50-150 ms) dwarfs the
     # tunnel's 20-40 ms per-dispatch RTT jitter — smaller gaps measured
     # noise, not ALUs (negative deltas under congestion)
-    iters = {"fma": (1000, 15000), "exp": (200, 2600), "log": (200, 2600),
-             "div": (200, 2200)}
+    iters = {"fma": (250, 3750), "exp": (50, 650), "log": (50, 650),
+             "div": (50, 550)}
     ops_per_rep = {"fma": 2.0, "exp": 1.0, "log": 1.0, "div": 1.0}
     peaks = {}
     base = jax.random.uniform(jax.random.key(17), shape, jnp.float32,
@@ -678,12 +680,16 @@ def main() -> None:
             ),
         }
         if block["binding_pct"] > 100.0:
-            # a ceiling cannot be exceeded: the kernel itself proves a
-            # calibration endpoint hit shared-tunnel contention
+            # a ceiling cannot be exceeded: the kernel itself proves the
+            # model conservative — the statement-walk census counts
+            # fused-away instructions (cmp+select, mul+add pairs, elided
+            # concat copies) as separate ops, so t_vpu is an upper bound
             block["calibration_note"] = (
-                "ceiling model exceeds 100%: a calibrated peak was "
-                "measured low (tunnel contention during calibration); "
-                "the kernel is saturating this axis"
+                "model exceeds 100%: the kernel runs FASTER than the "
+                "serial-compute model built from the op census — the "
+                "census counts ops that Mosaic fuses into single "
+                "instructions, so the true ceiling is higher and the "
+                "kernel is saturating this axis (>= ~100%)"
             )
         return block
 
