@@ -43,13 +43,14 @@ TRAIN_BASELINE = 2.4  # spectra/s, reference hot loop on 1 CPU core
 INFER_BASELINE = 5.5  # spectra/s, reference predict path on 1 CPU core
 
 # Analytic MXU FLOPs per spectrum inside the epoch kernel (all f32-HIGHEST):
-# forward K/w dots (2 rows x RC), scalar contractions (3 full + 1 blue),
-# backward per-pixel cotangents (tri(nh) + nh), gradient accumulation
-# (2 rows x RC). The Gram block is stored as its lower triangle
-# (RC = tri + nh + 1 rows); the n_blue count dot runs on pb lanes only.
-def kernel_flops_per_spectrum(p: int, pb: int, rc: int, nh: int) -> float:
+# forward K/w dots (ntri + nh rows), ones-row contractions (3 full + 1
+# blue-width), backward per-pixel cotangents (ntri + nh rows), and the
+# split gradient-accumulation dots (ntri + nh rows, contraction = TB
+# only — the old fused variant padded the contraction to 2TB). The Gram
+# block is stored as its lower triangle (ntri = nh(nh+1)/2 rows).
+def kernel_flops_per_spectrum(p: int, pb: int, nh: int) -> float:
     ntri = nh * (nh + 1) // 2
-    return 2.0 * (p * (2 * rc + 3 + (ntri + nh) + 2 * rc) + pb)
+    return 2.0 * (p * (3 * (ntri + nh) + 3) + pb)
 
 
 def kernel_vpu_ops_per_spectrum(p: int, pb: int, nh: int) -> dict:
@@ -64,15 +65,15 @@ def kernel_vpu_ops_per_spectrum(p: int, pb: int, nh: int) -> dict:
       -> 39 simple + 4 exp.
     * RED-only lanes (p - pb): u_r 1 -> 1 simple.
     * FULL width (p): mask cmp+cast 2; delta_m 1; base_r 2; d concat 1;
-      d_safe 2; w/u/wu/dpsi concats 5; q_row 2; logd mul 1; dd 8;
-      G_DPSI/G_CNT reduces 2 -> 26 simple + 1 log + 1 div.
+      d_safe 2; w/u/dpsi concats 3; q_row 2; logd mul 1; dd 8;
+      G_DPSI/G_CNT reduces 2 -> 24 simple + 1 log + 1 div.
     * small per-spectrum linear algebra (unrolled Cholesky, solves, S
       build): ~3.3 nh^3 (1, TB)-shaped vector ops per tile; a (1, TB) op
       uses 1 of 8 sublanes, so its cost at ALU peak is 8x its element
       count -> ~ 3.3 nh^3 * 8 equivalent element-ops per spectrum
       (the tile size TB cancels: ops-per-tile / spectra-per-tile).
     """
-    simple = 39 * pb + 1 * (p - pb) + 26 * p
+    simple = 39 * pb + 1 * (p - pb) + 24 * p
     smallwork = int(3.3 * nh**3) * 8
     return dict(
         simple=simple + smallwork,
@@ -635,8 +636,7 @@ def main() -> None:
 
     p = _round_up(grid.npix, 128)
     pb = _round_up(grid.nb, 128)
-    rc = _round_up(nh * (nh + 1) // 2 + nh + 1, 8)
-    fps = kernel_flops_per_spectrum(p, pb, rc, nh)
+    fps = kernel_flops_per_spectrum(p, pb, nh)
     tflops = train_rate * fps / 1e12
     # production layout: delta + error planes + the 512 B zq column
     bytes_per_spectrum = 2 * p * 4 + 512

@@ -347,11 +347,10 @@ def _epoch_kernel(
     logd_row = m * jnp.log(d_safe)
 
     rhst = rhst_scr[...]
-    # Per-spectrum small-matrix work happens in LANE-MAJOR layout: the MXU
-    # emits (RC, 2TB) directly, so every K entry / projection is a SUBLANE
-    # row slice of full lanes — no strided lane gathers, no relayouts.
-    wu_rows = jnp.concatenate([w_row, u_row], axis=0)  # (2TB, P)
 
+    # Per-spectrum small-matrix work happens in LANE-MAJOR layout: the MXU
+    # emits (R, TB) directly, so every K entry / projection is a SUBLANE
+    # row slice of full lanes — no strided lane gathers, no relayouts.
     def dot_lanes(rows, x):
         # (R, P) x (TB, P) -> (R, TB); outputs are lane-offset-0 so the
         # per-spectrum math below never mixes offsets (Mosaic requirement)
@@ -437,19 +436,21 @@ def _epoch_kernel(
         (((0,), (0,)), ((), ())), **_HP,
     )
 
-    # single accumulation dot: rows [s | 0pad] act on the w lanes and rows
-    # [0 | -alpha | 0pad] on the u lanes of wu_rows
+    # two accumulation dots, each contracting only TB: the old fused
+    # [s|0; 0|-alpha] @ [w; u] form padded the contraction to 2TB and
+    # spent 2.2x the MXU flops on structural zeros. The results land in
+    # distinct row ranges; concat + zero-pad keeps the scratch update one
+    # aligned full-block add.
     pad_rows = drhst_scr.shape[0] - (ntri + nh)
-    sa_t = jnp.concatenate(
-        [
-            jnp.concatenate([s_t, jnp.zeros((ntri, tb), f32)], axis=1),
-            jnp.concatenate([jnp.zeros((nh, tb), f32), -alpha_t], axis=1),
-            jnp.zeros((pad_rows, 2 * tb), f32),
-        ],
+    dg_rows = jax.lax.dot_general(
+        s_t, w_row, (((1,), (0,)), ((), ())), **_HP
+    )  # (ntri, P)
+    du_rows = jax.lax.dot_general(
+        -alpha_t, u_row, (((1,), (0,)), ((), ())), **_HP
+    )  # (nh, P)
+    drhst_scr[...] += jnp.concatenate(
+        [dg_rows, du_rows, jnp.zeros((pad_rows, dg_rows.shape[1]), f32)],
         axis=0,
-    )  # (RC, 2TB)
-    drhst_scr[...] += jax.lax.dot_general(
-        sa_t, wu_rows, (((1,), (0,)), ((), ())), **_HP
     )
 
     # dinv = m / d_safe, so multiplying by it both divides and masks —
