@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..data.loader import ResidualDataset
@@ -55,9 +56,9 @@ def make_epoch_dp_fn(
     mask leaf selects the in-kernel derived-mask layout (masked pixels
     must carry ``error == 0``), exactly as in ``fused_train_epoch``. Each
     device draws its own tile permutation (device-folded key), runs the
-    whole-epoch kernel on its shard, and the epoch ends with one pmean
-    of parameters + moments and one psum of the per-batch loss sums —
-    the only collectives of the epoch.
+    whole-epoch kernel on its shard, and the epoch ends with ONE fused
+    psum carrying the 1/ndev-scaled parameters + moments (== pmean) and
+    the per-batch loss books — the only collective of the epoch.
 
     Loss bookkeeping matches the reference
     (``/root/reference/QFA/model.py:206-213``): per-GLOBAL-batch sums are
@@ -117,12 +118,27 @@ def make_epoch_dp_fn(
             reference_norm=config.reference_norm,
             interpret=interpret,
         )
-        # THE collectives of the epoch: average the model, sum the books
-        params = jax.tree.map(lambda x: jax.lax.pmean(x, axis), out.params)
-        m_avg = jax.tree.map(lambda x: jax.lax.pmean(x, axis), out.m)
-        v_avg = jax.tree.map(lambda x: jax.lax.pmean(x, axis), out.v)
-        loss_sums = jax.lax.psum(out.loss_sums, axis)
-        n_real_b = jax.lax.psum(out.n_real, axis)
+        # THE collective of the epoch — exactly one. A per-leaf tree-pmean
+        # would issue ~20 collectives, and on real hardware every kernel
+        # launch carries fixed cost (the very overhead this engine
+        # exists to avoid). Everything rides one psum: the state leaves
+        # pre-scaled by 1/ndev (psum of x/n == pmean), the loss books raw.
+        flat, treedef = jax.tree.flatten((out.params, out.m, out.v))
+        sizes = [int(np.prod(x.shape)) if x.shape else 1 for x in flat]
+        shapes = [x.shape for x in flat]
+        nb_ = out.loss_sums.shape[0]
+        vec = jnp.concatenate(
+            [x.reshape(-1).astype(jnp.float32) / ndev for x in flat]
+            + [out.loss_sums, out.n_real]
+        )
+        vec = jax.lax.psum(vec, axis)
+        parts, off = [], 0
+        for sz, shp in zip(sizes, shapes):
+            parts.append(vec[off : off + sz].reshape(shp))
+            off += sz
+        params, m_avg, v_avg = jax.tree.unflatten(treedef, parts)
+        loss_sums = vec[off : off + nb_]
+        n_real_b = vec[off + nb_ : off + 2 * nb_]
         new_state = TrainState(
             params,
             adam.AdamState(m=m_avg, v=v_avg, epoch=state.opt_state.epoch + 1),
