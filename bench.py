@@ -726,12 +726,14 @@ def main() -> None:
             "whole_epoch_dp_spectra_per_sec": _r(edp_rate),
             "whole_epoch_dp_note": "local-SGD engine (parallel.epoch_dp): "
                                    "one fused-epoch launch per device + "
-                                   "one pmean per epoch; multi-chip "
-                                   "throughput projects as N x this rate "
-                                   "(measured ~0.6x the plain whole-epoch "
-                                   "engine on one device - shard_map "
-                                   "wrapping overhead - and ~4x the "
-                                   "per-step exact-DP cadence above)",
+                                   "ONE fused psum per epoch (params + "
+                                   "moments pre-scaled by 1/ndev + loss "
+                                   "books in a single collective); "
+                                   "matches the plain whole-epoch rate "
+                                   "on one device, so multi-chip "
+                                   "throughput projects as N x this "
+                                   "rate, unlike the per-step exact-DP "
+                                   "cadence above",
             "infer_engine": "fused single-launch Pallas prediction kernel",
             "infer_spectra_per_sec": _r(infer_rate),
             "infer_vs_baseline": _r(
