@@ -334,3 +334,28 @@ def test_fit_pallas_mesh_end_to_end(problem, tmp_path):
 
     with pytest.raises(ValueError, match="reshuffle_interval"):
         fit_pallas(p0, data, mu, cfg, reshuffle_interval=2, **kw)
+
+
+def test_epoch_dp_scalar_leaves_survive_fused_collective(problem):
+    """The fused single-psum pack/unpack must round-trip scalar leaves
+    (tau0/c0/beta and their moments) exactly — a wrong slice offset would
+    scramble the physical scalars silently."""
+    from qfa_tpu.parallel import make_epoch_dp_fn, shard_dataset
+
+    grid, data = problem
+    mesh = make_mesh(NDEV)
+    cfg = TrainConfig(batch_size=64, learning_rate=1e-2, weight_decay=0.0)
+    fn = make_epoch_dp_fn(cfg, mesh, tile_batch=8, interpret=True)
+    st = fresh_state(grid)
+    new_state, _ = fn(st, shard_dataset(data, mesh), jax.random.key(4))
+    for leaf, ref_leaf in zip(jax.tree.leaves(new_state.params),
+                              jax.tree.leaves(st.params)):
+        assert leaf.shape == ref_leaf.shape
+    # scalars stay scalars and in physical range (clip bounds applied
+    # in-kernel)
+    assert new_state.params.tau0.shape == ()
+    assert 0.0 < float(new_state.params.beta) < 10.0
+    assert np.isfinite(float(new_state.params.c0))
+    # moments keep their structure too
+    assert new_state.opt_state.m.F.shape == st.params.F.shape
+    assert new_state.opt_state.v.omega.shape == st.params.omega.shape
