@@ -249,8 +249,8 @@ def calibrate_vpu():
     # (i1, i2) per op, sized so the COMPUTE delta (~50-150 ms) dwarfs the
     # tunnel's 20-40 ms per-dispatch RTT jitter — smaller gaps measured
     # noise, not ALUs (negative deltas under congestion)
-    iters = {"fma": (250, 3750), "exp": (50, 650), "log": (50, 650),
-             "div": (50, 550)}
+    iters = {"fma": (250, 3750), "exp": (50, 3650), "log": (50, 3650),
+             "div": (50, 1850)}
     ops_per_rep = {"fma": 2.0, "exp": 1.0, "log": 1.0, "div": 1.0}
     peaks = {}
     base = jax.random.uniform(jax.random.key(17), shape, jnp.float32,
