@@ -15,6 +15,16 @@ except ModuleNotFoundError:
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import os
+
+import jax
+
+if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+    # the dev image pins JAX_PLATFORMS to the TPU plugin at a level the
+    # env var alone does not override; honor an explicit cpu request
+    jax.config.update("jax_platforms", "cpu")
+
 import time
 import jax, jax.numpy as jnp
 import numpy as np
