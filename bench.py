@@ -281,13 +281,13 @@ def calibrate_vpu():
     return peaks
 
 
-def build_survey(grid, n, nh, seed=5):
+def build_survey(grid, n, nh, seed=5, dtype=jnp.float32):
     """Survey-scale resident residual buffers in the production layout
-    (delta, error, zq column — ~15.4 KB/spectrum at SDSS scale), built
-    chunk-by-chunk with donation (peak memory = final footprint + one
-    chunk). Arrays are pre-padded to the kernel's lane width so no copies
-    happen inside the epoch jit; mask and absorber redshifts are derived
-    in-kernel."""
+    (delta, error, zq column — ~15.4 KB/spectrum at SDSS scale in f32,
+    ~8.2 KB in bf16 capacity mode), built chunk-by-chunk with donation
+    (peak memory = final footprint + one chunk). Arrays are pre-padded to
+    the kernel's lane width so no copies happen inside the epoch jit;
+    mask and absorber redshifts are derived in-kernel."""
     from qfa_tpu.data.loader import ResidualDataset
     from qfa_tpu.ops.fused_step import _round_up
 
@@ -307,12 +307,12 @@ def build_survey(grid, n, nh, seed=5):
         delta = 0.4 * jax.random.normal(kd, (chunk, p), jnp.float32)
         error = jax.random.uniform(ke, (chunk, p), jnp.float32, 0.05, 0.3)
         live = (jnp.arange(p) < grid.npix).astype(jnp.float32)
-        return delta * live, error * live, zq
+        return (delta * live).astype(dtype), (error * live).astype(dtype), zq
 
     @jax.jit
     def alloc():
-        return (jnp.zeros((n, p), jnp.float32),
-                jnp.zeros((n, p), jnp.float32),
+        return (jnp.zeros((n, p), dtype),
+                jnp.zeros((n, p), dtype),
                 jnp.zeros((n, 128), jnp.float32))
 
     write = jax.jit(
@@ -550,8 +550,11 @@ def main() -> None:
         desi_params, desi_mu, desi_syn, desi_data, _ = make_problem(
             desi_grid, nh, desi_n, seed=5
         )
+        from qfa_tpu.train import pick_tile_batch
+
         desi_dt, desi_loss, _ = bench_pallas_epochs(
-            desi_params, desi_data, desi_b, 64, trials=8,
+            desi_params, desi_data, desi_b,
+            pick_tile_batch(desi_b, desi_grid.npix), trials=8,
             loglam=loglam_row(desi_grid.wav),
         )
         desi_rate = desi_n / desi_dt
@@ -617,6 +620,27 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         failures["survey"] = f"{type(e).__name__}: {str(e)[:200]}"
     del big
+    gc.collect()
+
+    # ---- bf16 capacity at survey scale: 1.47M spectra on ONE chip ---------
+    # (at this scale the halved DMA bytes offset the bf16->f32 relayout
+    # cost, so capacity mode is speed-neutral — unlike the 65k headline)
+    stage("1.47M bf16 capacity")
+    big16_rate = None
+    n_big16 = 1_474_560  # 360 batches of 4096; ~11.2 GiB resident
+    try:
+        big16 = build_survey(grid, n_big16, nh, seed=13, dtype=jnp.bfloat16)
+        big16_params = random_init(
+            jax.random.key(12), grid.npix, grid.nb, nh
+        )
+        big16_dt, _, _ = bench_pallas_epochs(
+            big16_params, big16, batch_size, tile, trials=3,
+            loglam=loglam_row(grid.wav),
+        )
+        big16_rate = n_big16 / big16_dt
+        del big16
+    except Exception as e:  # noqa: BLE001
+        failures["bf16_survey"] = f"{type(e).__name__}: {str(e)[:200]}"
     gc.collect()
 
     # ---- roofline / MFU accounting ----------------------------------------
@@ -715,10 +739,12 @@ def main() -> None:
             "xla_train_spectra_per_sec": _r(xla_rate),
             "bf16_capacity_train_spectra_per_sec": _r(bf16_rate),
             "bf16_note": "bf16-streamed planes HALVE resident bytes "
-                         "(~1.5M SDSS spectra/chip) but run slower than "
-                         "f32 (bf16->f32 tile relayout outweighs the "
-                         "overlapped-DMA savings) - a capacity mode, "
-                         "not the default",
+                         "(~1.5M SDSS spectra/chip). At the 65k headline "
+                         "scale they run slower than f32 (the bf16->f32 "
+                         "tile relayout outweighs the overlapped-DMA "
+                         "savings); at survey scale the halved bytes "
+                         "compensate and capacity mode is speed-neutral "
+                         "(bf16_survey_* below)",
             "dp_epoch_spectra_per_sec": _r(dp_rate),
             "dp_overhead_vs_fit_pallas": _r(
                 None if dp_rate is None else train_rate / dp_rate, 2
@@ -753,6 +779,11 @@ def main() -> None:
             "survey_train_spectra_per_sec": _r(big_rate),
             "survey_resident_gb": round(n_survey * (2 * p * 4 + 512) / 2**30,
                                         1),
+            "bf16_survey_resident_spectra": n_big16,
+            "bf16_survey_train_spectra_per_sec": _r(big16_rate),
+            "bf16_survey_resident_gib": round(
+                n_big16 * (2 * p * 2 + 512) / 2**30, 1
+            ),
             "projected_500k_500epoch_minutes": _r(minutes_500, 2),
             "north_star_under_10min": (
                 None if minutes_500 is None else minutes_500 < 10.0

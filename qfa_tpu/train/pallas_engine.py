@@ -44,11 +44,12 @@ def pick_tile_batch(batch_size: int, npix: int, limit: int = 256) -> int:
     """Largest power-of-two tile that divides the batch and fits VMEM.
 
     The kernel double-buffers 4 float32 ``(tile, P)`` windows; 256 rows at
-    SDSS Npix leaves headroom under the 128 MB VMEM budget, DESI-scale
-    grids (Npix ~ 9.3k) need 64-row tiles.
+    SDSS Npix leaves headroom under the 128 MB VMEM budget. DESI-scale
+    grids (Npix ~ 9.3k) take 128-row tiles since the accumulation-dot
+    split (measured ~6% faster than 64; 256 still fails to compile).
     """
     if npix > 4000:
-        limit = min(limit, 64)
+        limit = min(limit, 128)
     tb = 1
     while tb * 2 <= limit and batch_size % (tb * 2) == 0:
         tb *= 2
