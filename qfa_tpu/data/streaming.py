@@ -120,6 +120,11 @@ def stream_batches(
             args = tuple(jax.device_put(a, sharding) for a in args)
         else:
             args = tuple(jax.device_put(a) for a in args)
+        # bf16-stored host planes (capacity mode) compute in f32 like
+        # every other engine
+        from .loader import as_f32
+
+        args = tuple(as_f32(a) for a in args[:3]) + (args[3],)
         return SpectraBatch(*args, weight=weight)
 
     queue = [put(i) for i in range(min(prefetch, n_batches))]
