@@ -691,3 +691,40 @@ def test_epoch_kernel_blue_lane_split_path():
             np.asarray(getattr(out_plane.params, name)),
             rtol=5e-4, atol=1e-5, err_msg=name,
         )
+
+
+def test_pick_tile_batch_heuristic():
+    """VMEM-aware training tiles: 256 at SDSS width, 128 at DESI width
+    (compile-viable since the accumulation-dot split), always a
+    power-of-two divisor of the batch."""
+    from qfa_tpu.train import pick_tile_batch
+
+    assert pick_tile_batch(4096, 1913) == 256
+    assert pick_tile_batch(1024, 9243) == 128
+    assert pick_tile_batch(96, 1913) == 32  # largest pow2 dividing 96
+    assert pick_tile_batch(8, 9243) == 8
+
+
+def test_zq_column_custom_weights():
+    """zq_column's weight argument flows into the kernel's n_real."""
+    from qfa_tpu.ops import loglam_row, zq_column
+
+    grid = qfa_tpu.make_grid(1030.0, 1090.0, 1e-3)
+    nh = 4
+    true = random_init(jax.random.key(0), grid.npix, grid.nb, nh)
+    mu = jnp.full((grid.npix,), 1.1, jnp.float32)
+    syn = generate(jax.random.key(1), true, mu, grid, 64, mask_frac=0.1)
+    b = syn.to_batch(mu)
+    w = jnp.ones((64,)).at[:8].set(0.0)  # first 8 rows marked synthetic
+    zq = zq_column(syn.zqso, weight=w)
+    np.testing.assert_array_equal(np.asarray(zq[:, 1]), np.asarray(w))
+    p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+    st = TrainState(p0, adam.init(p0))
+    out = fused_train_epoch(
+        st.params, st.opt_state.m, st.opt_state.v,
+        b.delta, b.error, zq, jnp.arange(8), b.mask,
+        loglam=loglam_row(grid.wav), derive_zabs=True,
+        epoch=jnp.asarray(0, jnp.int32), n_batches=2, tile_batch=8,
+        interpret=True,
+    )
+    assert float(jnp.sum(out.n_real)) == 56.0
