@@ -323,6 +323,7 @@ def run_predict(cfg: ConfigNode) -> None:
     from .infer.predict import (
         predict_dataset,
         predict_dataset_fused,
+        write_consolidated_npz,
         write_npz_outputs,
     )
     from .models import load_npz
@@ -360,7 +361,12 @@ def run_predict(cfg: ConfigNode) -> None:
             batch_size=min(cfg.DATA.BATCH_SIZE, 4096),
             options=ModelOptions(tau_which=cfg.MODEL.TAU),
         )
-    write_npz_outputs(result, dataset.paths, os.path.join(out, "predict"))
+    if cfg.RUNTIME.CONSOLIDATED_PREDICT:
+        write_consolidated_npz(
+            result, dataset.paths, os.path.join(out, "predictions.npz")
+        )
+    else:
+        write_npz_outputs(result, dataset.paths, os.path.join(out, "predict"))
     dt = time.time() - t0
     logger.info(
         "predicted %d spectra in %.2f s (%.1f spectra/s)",

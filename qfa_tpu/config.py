@@ -192,6 +192,11 @@ def default_config() -> ConfigNode:
             "RUNTIME": {
                 "DEBUG_NANS": False,
                 "PROFILE_DIR": "",
+                #: predict mode: write one consolidated predictions.npz
+                #: (stacked arrays + source paths) instead of the
+                #: reference's one-file-per-spectrum layout — millions of
+                #: files at survey scale.
+                "CONSOLIDATED_PREDICT": False,
             },
         }
     )

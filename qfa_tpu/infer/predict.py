@@ -29,6 +29,7 @@ __all__ = [
     "predict_dataset_fused",
     "predict_resident",
     "write_npz_outputs",
+    "write_consolidated_npz",
     "ood_scores",
 ]
 
@@ -290,6 +291,30 @@ def write_npz_outputs(
             cont=np.asarray(result.continuum[i], np.float32),
             uncertainty=np.asarray(result.continuum_std[i], np.float32),
         )
+
+
+def write_consolidated_npz(
+    result: PredictResult,
+    paths: Sequence[str],
+    out_path: str,
+) -> None:
+    """Write ALL predictions into one npz (stacked arrays + source paths).
+
+    The survey-scale alternative to :func:`write_npz_outputs` (the
+    reference writes one file per spectrum, ``/root/reference/main.py:
+    94-98`` — millions of files at production scale). Keys match the
+    per-spectrum schema, stacked along axis 0, plus ``paths``.
+    """
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    np.savez(
+        out_path,
+        ll=np.asarray(result.ll, np.float32),
+        hmean=np.asarray(result.hmean, np.float32),
+        hcov=np.asarray(result.hcov, np.float32),
+        cont=np.asarray(result.continuum, np.float32),
+        uncertainty=np.asarray(result.continuum_std, np.float32),
+        paths=np.asarray([os.path.basename(str(p)) for p in paths]),
+    )
 
 
 def sample_posterior_continua(

@@ -269,3 +269,45 @@ def test_train_cli_bf16_capacity_mode(survey):
     assert np.isfinite(np.asarray(params.F)).all()
     with open(f"{out}/log.txt") as fh:
         assert "capacity mode" in fh.read()
+
+
+def test_predict_cli_consolidated_output(survey):
+    """RUNTIME.CONSOLIDATED_PREDICT writes ONE predictions.npz (stacked
+    arrays + source paths) — the survey-scale alternative to the
+    reference's per-spectrum files — with values identical to the
+    per-file layout."""
+    root, catalog, data_dir, grid = survey
+    train_out = str(root / "train_out")
+    ckpt = f"{train_out}/model_parameters.npz"
+    assert os.path.exists(ckpt), "train test must run first"
+    files = sorted(os.listdir(data_dir))[:8]
+    pred_catalog = str(root / "predict-catalog2.csv")
+    pd.Series(files).to_csv(pred_catalog, header=False, index=False)
+
+    out = str(root / "predict_consolidated_out")
+    main(
+        [
+            "--type", "predict",
+            "--catalog", pred_catalog,
+            "--data_dir", data_dir,
+            "--output_dir", out,
+            "--resume", ckpt,
+            "--batch_size", "4",
+            "--nh", "3",
+            "--opts", "RUNTIME.CONSOLIDATED_PREDICT", "True",
+            *_grid_opts(),
+        ]
+    )
+    assert not os.path.isdir(f"{out}/predict")  # no per-spectrum spray
+    with np.load(f"{out}/predictions.npz") as r:
+        assert set(r.files) == {
+            "ll", "hmean", "hcov", "cont", "uncertainty", "paths"
+        }
+        assert r["cont"].shape == (8, grid.npix)
+        assert list(r["paths"]) == files
+        assert np.isfinite(r["ll"]).all()
+        # identical values to the per-file layout written by the earlier
+        # predict test
+        ref = np.load(str(root / "predict_out" / "predict" / files[0]))
+        np.testing.assert_array_equal(r["cont"][0], ref["cont"])
+        np.testing.assert_array_equal(r["ll"][0], ref["ll"])
