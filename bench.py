@@ -68,13 +68,13 @@ def kernel_vpu_ops_per_spectrum(p: int, pb: int, nh: int) -> dict:
       d_safe 2; w/u/dpsi concats 3; q_row 2; logd mul 1; dd 8;
       G_DPSI/G_CNT reduces 2 -> 24 simple + 1 log + 1 div.
     * small per-spectrum linear algebra (unrolled Cholesky, solves, S
-      build): ~3.3 nh^3 (1, TB)-shaped vector ops per tile; a (1, TB) op
-      uses 1 of 8 sublanes, so its cost at ALU peak is 8x its element
-      count -> ~ 3.3 nh^3 * 8 equivalent element-ops per spectrum
-      (the tile size TB cancels: ops-per-tile / spectra-per-tile).
+      build with sparse unit-RHS K^-1 columns): ~2.3 nh^3 (1, TB)-shaped
+      vector ops per tile; a (1, TB) op uses 1 of 8 sublanes, so its
+      cost at ALU peak is 8x its element count -> ~ 2.3 nh^3 * 8
+      equivalent element-ops per spectrum (the tile size TB cancels).
     """
     simple = 39 * pb + 1 * (p - pb) + 24 * p
-    smallwork = int(3.3 * nh**3) * 8
+    smallwork = int(2.3 * nh**3) * 8
     return dict(
         simple=simple + smallwork,
         exp=4 * pb,

@@ -37,6 +37,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.params import QFAParams
 from .epoch_kernel import (
     _chol_t,
+    _kinv_column,
     _solve_lower_t,
     _solve_upper_t,
     _tri_idx,
@@ -225,8 +226,7 @@ def _predict_kernel(
     # variance contraction diag(F K^-1 F^T) = sum_tri w K^-1[ab] G[ab]
     kinv_rows = [None] * (nh * nh)
     for b in range(nh):
-        e = [jnp.full_like(quad, 1.0 if a == b else 0.0) for a in range(nh)]
-        mj = _solve_upper_t(chol, _solve_lower_t(chol, e, nh), nh)
+        mj = _kinv_column(chol, b, nh)
         for a in range(nh):
             kinv_rows[a * nh + b] = mj[a]
     kinv_t = jnp.concatenate(kinv_rows, axis=0)  # (nh*nh, TB)
