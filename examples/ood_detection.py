@@ -26,14 +26,9 @@ except ModuleNotFoundError:
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import os
+from qfa_tpu.utils import honor_cpu_request
 
-import jax
-
-if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-    # the dev image pins JAX_PLATFORMS to the TPU plugin at a level the
-    # env var alone does not override; honor an explicit cpu request
-    jax.config.update("jax_platforms", "cpu")
+honor_cpu_request()  # the dev image pins the TPU plugin; honor cpu requests
 
 import argparse
 

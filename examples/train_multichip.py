@@ -22,13 +22,13 @@ except ModuleNotFoundError:
 
     sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
-import os
 import time
 
 import jax
 
-if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
-    jax.config.update("jax_platforms", "cpu")
+from qfa_tpu.utils import honor_cpu_request
+
+honor_cpu_request()  # the dev image pins the TPU plugin; honor cpu requests
 
 import jax.numpy as jnp
 

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .batch import SpectraBatch
+from .loader import as_f32
 from .grid import WavelengthGrid
 from .loader import SpectraDataset, make_residuals
 
@@ -115,17 +116,20 @@ def stream_batches(
         else:
             idx = np.sort(perm[i])  # sorted gather is faster on the host
             weight = full_weight
-        args = (host.delta[idx], host.error[idx], host.zabs[idx], host.mask[idx])
-        if sharding is not None:
-            args = tuple(jax.device_put(a, sharding) for a in args)
-        else:
-            args = tuple(jax.device_put(a) for a in args)
+        put_dev = (
+            (lambda a: jax.device_put(a, sharding))
+            if sharding is not None
+            else jax.device_put
+        )
         # bf16-stored host planes (capacity mode) compute in f32 like
-        # every other engine
-        from .loader import as_f32
-
-        args = tuple(as_f32(a) for a in args[:3]) + (args[3],)
-        return SpectraBatch(*args, weight=weight)
+        # every other engine; the mask keeps its dtype
+        return SpectraBatch(
+            delta=as_f32(put_dev(host.delta[idx])),
+            error=as_f32(put_dev(host.error[idx])),
+            zabs=as_f32(put_dev(host.zabs[idx])),
+            mask=put_dev(host.mask[idx]),
+            weight=weight,
+        )
 
     queue = [put(i) for i in range(min(prefetch, n_batches))]
     for i in range(n_batches):

@@ -303,13 +303,15 @@ def write_consolidated_npz(
     The survey-scale alternative to :func:`write_npz_outputs` (the
     reference writes one file per spectrum, ``/root/reference/main.py:
     94-98`` — millions of files at production scale). Keys match the
-    per-spectrum schema, stacked along axis 0, plus ``paths``.
+    per-spectrum schema stacked along axis 0, plus ``paths`` — including
+    the reference's ``(nh, 1)`` column shape for ``hmean``, so
+    ``r["hmean"][i]`` is exactly what the per-file layout stores.
     """
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
     np.savez(
         out_path,
         ll=np.asarray(result.ll, np.float32),
-        hmean=np.asarray(result.hmean, np.float32),
+        hmean=np.asarray(result.hmean, np.float32)[..., None],
         hcov=np.asarray(result.hcov, np.float32),
         cont=np.asarray(result.continuum, np.float32),
         uncertainty=np.asarray(result.continuum_std, np.float32),

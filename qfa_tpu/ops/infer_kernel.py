@@ -62,8 +62,9 @@ def default_tile_batch(npix: int) -> int:
     256 rows fit comfortably at SDSS width; DESI-scale grids (npix > 4000
     -> P ~ 9.3k lanes) stream ~6 double-buffered (TB, P) planes: measured
     on the v5e, 128-row tiles compile and run ~12% faster than 64 while
-    256 fails to compile (the training kernel, which also holds Adam
-    state, needs 64 there — ``train.pallas_engine.pick_tile_batch``).
+    256 fails to compile (the training kernel takes 128 at DESI width too
+    since the accumulation-dot split — ``train.pallas_engine.
+    pick_tile_batch``).
     Very wide grids drop to 64. Used whenever the caller does not pass an
     explicit ``tile_batch``.
     """

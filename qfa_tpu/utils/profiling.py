@@ -18,7 +18,32 @@ from typing import Any, Iterator
 import jax
 import numpy as np
 
-__all__ = ["is_tpu", "trace", "timed", "tree_health", "enable_nan_debugging"]
+__all__ = [
+    "honor_cpu_request",
+    "is_tpu",
+    "trace",
+    "timed",
+    "tree_health",
+    "enable_nan_debugging",
+]
+
+
+def honor_cpu_request() -> None:
+    """Apply an explicit ``JAX_PLATFORMS=cpu`` request.
+
+    Images that pin the TPU plugin (this dev image sets
+    ``JAX_PLATFORMS=axon`` at a level the env var alone does not
+    override) ignore a user's ``JAX_PLATFORMS=cpu``; calling this early
+    forces the platform through the config too. No-op otherwise, and
+    safe after the backend initialized (the error is swallowed — the
+    run then stays on the pinned platform)."""
+    import os
+
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        try:
+            jax.config.update("jax_platforms", "cpu")
+        except RuntimeError:  # backend already initialized: keep going
+            pass
 
 
 def is_tpu() -> bool:

@@ -306,8 +306,13 @@ def test_predict_cli_consolidated_output(survey):
         assert r["cont"].shape == (8, grid.npix)
         assert list(r["paths"]) == files
         assert np.isfinite(r["ll"]).all()
+        # reference (nh, 1) column shape for hmean, like the per-file layout
+        assert r["hmean"].shape == (8, 3, 1)
         # identical values to the per-file layout written by the earlier
         # predict test
-        ref = np.load(str(root / "predict_out" / "predict" / files[0]))
+        per_file = str(root / "predict_out" / "predict" / files[0])
+        assert os.path.exists(per_file), "per-file predict test must run first"
+        ref = np.load(per_file)
         np.testing.assert_array_equal(r["cont"][0], ref["cont"])
         np.testing.assert_array_equal(r["ll"][0], ref["ll"])
+        np.testing.assert_array_equal(r["hmean"][0], ref["hmean"])
