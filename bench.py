@@ -356,7 +356,39 @@ def main() -> None:
         params, data, batch_size, tile, trials=12,
         loglam=loglam_row(grid.wav),
     )
-    train_rate = n_spectra / train_dt
+    single_launch_rate = n_spectra / train_dt
+    train_rate = single_launch_rate
+
+    # ---- launch fusion: 5 epochs per kernel launch (the production
+    # smoothing cadence, TRAIN.EPOCHS_PER_LAUNCH=5) — amortizes the fixed
+    # dispatch + per-epoch packing/permutation kernels over the chunk.
+    stage("launch-fused epochs (x5)")
+    fused5_rate = None
+    try:
+        from qfa_tpu.train.pallas_engine import make_pallas_chunk_fn
+
+        epl = 5
+        cfg5 = TrainConfig(batch_size=batch_size)
+        cf = make_pallas_chunk_fn(
+            cfg5, n_epochs=epl, tile_batch=tile, derive_mask=True,
+            loglam=loglam_row(grid.wav),
+        )
+        st5 = TrainState(params, adam.init(params))
+        st5, lv = cf(st5, data, jax.random.key(300))
+        _ = float(lv[-1])  # compile + warmup, one sync
+        chunk_trials = 4
+        t0 = time.perf_counter()
+        for k in range(chunk_trials):
+            st5, lv = cf(st5, data, jax.random.key(301 + k))
+        _ = float(lv[-1])
+        fused_dt = (time.perf_counter() - t0) / chunk_trials / epl
+        fused5_rate = n_spectra / fused_dt
+        if fused5_rate > train_rate:
+            # the production configuration IS the headline engine
+            train_rate, train_dt = fused5_rate, fused_dt
+        del st5
+    except Exception as e:  # noqa: BLE001
+        failures["launch_fusion"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     # ---- bf16 capacity mode: half the resident bytes, measured rate ------
     stage("bf16 capacity mode")
@@ -727,9 +759,18 @@ def main() -> None:
         "vs_baseline": round(train_rate / TRAIN_BASELINE, 1),
         "extras": {
             "platform": str(jax.devices()[0]),
-            "engine": "fused whole-epoch Pallas kernel (1 launch/epoch; "
-                      "in-kernel mask + absorber redshifts from a 512 B "
-                      "zq column)",
+            "engine": "fused whole-epoch Pallas kernel (in-kernel mask + "
+                      "absorber redshifts from a 512 B zq column; "
+                      "headline = best of 1 and 5 epochs per launch)",
+            "single_launch_epoch_spectra_per_sec": _r(single_launch_rate),
+            "fused5_epochs_per_launch_spectra_per_sec": _r(fused5_rate),
+            "launch_fusion_note": "EPOCHS_PER_LAUNCH=5 runs five full "
+                                  "epochs inside ONE pallas_call (state "
+                                  "resident in VMEM/SMEM across epochs), "
+                                  "amortizing the ~0.6 ms fixed dispatch "
+                                  "+ per-epoch packing kernels; chunks "
+                                  "align to the smoothing cadence so the "
+                                  "trajectory equals the per-epoch run",
             "npix": grid.npix,
             "nh": nh,
             "batch_size": batch_size,
@@ -810,7 +851,9 @@ def main() -> None:
                     None if peak_read_gbps is None
                     else 100.0 * hbm_gbps / peak_read_gbps
                 ),
-                "kernel_launches_per_epoch": 1,
+                "kernel_launches_per_epoch": (
+                    0.2 if train_rate == fused5_rate else 1
+                ),
                 "vpu_peaks_tops": None if vpu_peaks is None else {
                     k: None if v is None else round(v / 1e12, 3)
                     for k, v in vpu_peaks.items()

@@ -298,6 +298,14 @@ def run_train(cfg: ConfigNode) -> None:
                 logger.info(
                     "resident layout: in-kernel mask + zq-column redshifts"
                 )
+            if mesh is None and cfg.TRAIN.EPOCHS_PER_LAUNCH > 1:
+                pallas_kwargs["epochs_per_launch"] = (
+                    cfg.TRAIN.EPOCHS_PER_LAUNCH
+                )
+                logger.info(
+                    "launch fusion: up to %d epochs per kernel launch",
+                    cfg.TRAIN.EPOCHS_PER_LAUNCH,
+                )
             params, history = fit_pallas(
                 params, residuals, mu, train_cfg, val_data=val_residuals,
                 mesh=mesh, **pallas_kwargs, **fit_kwargs,

@@ -184,6 +184,13 @@ def default_config() -> ConfigNode:
                 #: chip; kernel arithmetic stays f32). Measured ~0.7x the
                 #: f32 epoch rate on v5e — trade speed for residency.
                 "BF16_PLANES": False,
+                #: Pallas engine: epochs fused into ONE kernel launch
+                #: (amortizes the fixed dispatch cost, ~+9% epoch rate on
+                #: v5e at 5). Chunks auto-align to every smoothing/saving
+                #: boundary so the trajectory matches 1 exactly; NaN
+                #: rollback, early stop, and validation become
+                #: chunk-granular. 1 = reference-exact cadence.
+                "EPOCHS_PER_LAUNCH": 1,
             },
             # TPU-native extensions
             "MESH": {

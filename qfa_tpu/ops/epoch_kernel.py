@@ -95,9 +95,12 @@ class EpochOutputs(NamedTuple):
     params: QFAParams  #: parameters after the whole epoch.
     m: QFAParams  #: first Adam moments.
     v: QFAParams  #: second Adam moments.
-    loss_sums: Array  #: (n_batches,) summed NLL per batch.
-    #: (n_batches,) real rows per batch: weight-1 rows (zq weight lane)
-    #: with ``derive_zabs``, rows with >=1 observed pixel in plane mode.
+    #: (n_batches,) summed NLL per batch — (n_epochs, n_batches) when the
+    #: launch runs several epochs.
+    loss_sums: Array
+    #: real rows per batch (same shape as ``loss_sums``): weight-1 rows (zq
+    #: weight lane) with ``derive_zabs``, rows with >=1 observed pixel in
+    #: plane mode.
     n_real: Array
 
 
@@ -229,6 +232,7 @@ def _epoch_kernel(
     tb: int,
     tpb: int,
     n_batches: int,
+    n_epochs: int,
     derive_mask: bool,
     derive_zabs: bool,
     pb: int,  #: blue-padded lane count (round_up(nb, 128), <= p_lanes)
@@ -247,15 +251,16 @@ def _epoch_kernel(
         rhst_scr, drhst_scr, mft_scr, vft_scr, rows_scr, grows_scr,
         small_scr, sc_scr,
     ) = rest
-    i = pl.program_id(0)  # batch index
-    j = pl.program_id(1)  # tile-within-batch index
+    e = pl.program_id(0)  # epoch-within-launch index
+    i = pl.program_id(1)  # batch index
+    j = pl.program_id(2)  # tile-within-batch index
     f32 = jnp.float32
     pairs = _tri_pairs(nh)
     ntri = len(pairs)  # nh(nh+1)/2 lower-triangle Gram rows
     ones_row = ntri + nh
 
-    # -- one-time init ------------------------------------------------------
-    @pl.when(jnp.logical_and(i == 0, j == 0))
+    # -- one-time init (first grid step of the whole launch) -----------------
+    @pl.when(jnp.logical_and(e == 0, jnp.logical_and(i == 0, j == 0)))
     def _init_epoch():
         rows_scr[...] = rows0_ref[...]
         mft_scr[...] = mft0_ref[...]
@@ -511,9 +516,12 @@ def _epoch_kernel(
     # -- batch end: finish gradients, Adam update, rebuild RHS ---------------
     @pl.when(j == tpb - 1)
     def _batch_update():
-        lr = hyper_ref[0, H_LR]
-        bc1 = hyper_ref[0, H_BC1]
-        bc2 = hyper_ref[0, H_BC2]
+        # per-epoch scheduled LR and bias correction: row e of the hyper
+        # table (the reference's Adam counter advances once per epoch,
+        # /root/reference/QFA/optimizer.py:49-69)
+        lr = hyper_ref[e, H_LR]
+        bc1 = hyper_ref[e, H_BC1]
+        bc2 = hyper_ref[e, H_BC2]
         eps = hyper_ref[0, H_EPS]
         wd = hyper_ref[0, H_WD]
         b1 = hyper_ref[0, H_B1]
@@ -627,10 +635,15 @@ def _epoch_kernel(
             rhst_scr[t : t + 1, :] = new_f_rows[a] * new_f_rows[b]
 
         # per-batch loss output: [nll_sum, scalar_cnt, n_real, ...]
-        loss_ref[pl.ds(i, 1), :] = small_scr[...]
+        loss_ref[pl.ds(e * n_batches + i, 1), :] = small_scr[...]
 
-    # -- epoch end: write final state ----------------------------------------
-    @pl.when(jnp.logical_and(i == n_batches - 1, j == tpb - 1))
+    # -- launch end: write final state ---------------------------------------
+    @pl.when(
+        jnp.logical_and(
+            e == n_epochs - 1,
+            jnp.logical_and(i == n_batches - 1, j == tpb - 1),
+        )
+    )
     def _finalize():
         ft_out_ref[...] = rhst_scr[ntri : ntri + nh, :]
         mft_out_ref[...] = mft_scr[...]
@@ -706,8 +719,8 @@ def _validate_zq(zabs: Array, loglam, n: int) -> None:
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "n_batches", "tile_batch", "tau_which", "reference_norm", "interpret",
-        "derive_zabs",
+        "n_batches", "n_epochs", "tile_batch", "tau_which", "reference_norm",
+        "interpret", "derive_zabs",
     ),
 )
 def fused_train_epoch(
@@ -722,6 +735,7 @@ def fused_train_epoch(
     *,
     epoch: Array,
     n_batches: int,
+    n_epochs: int = 1,
     loglam: Array | None = None,
     derive_zabs: bool = False,
     tile_batch: int = 256,
@@ -737,7 +751,20 @@ def fused_train_epoch(
     reference_norm: bool = True,
     interpret: bool = False,
 ) -> EpochOutputs:
-    """Run one full training epoch in a single Pallas launch.
+    """Run one (or several) full training epochs in a single Pallas launch.
+
+    With ``n_epochs > 1`` the grid gains a leading epoch axis: parameters
+    and Adam moments stay resident in VMEM/SMEM scratch across ALL the
+    epochs of the launch, amortizing the device's fixed per-dispatch cost
+    (~0.6 ms on the target v5e — material against a ~9 ms SDSS epoch) and
+    every per-epoch host-side packing kernel over the chunk. Per-epoch
+    scheduled learning rate and Adam bias correction come from row ``e``
+    of the hyper table (the reference's per-epoch counter semantics,
+    ``/root/reference/QFA/optimizer.py:49-69``, hold exactly: epoch ``k``
+    of the chunk uses counter ``epoch + k``). Epoch-BOUNDARY actions
+    (smoothing, checkpointing, early stop, NaN rollback) cannot run inside
+    a launch — callers chunk accordingly (``fit_pallas`` aligns chunks to
+    those intervals).
 
     Args:
         params, m, v: current parameters and Adam moments.
@@ -760,12 +787,20 @@ def fused_train_epoch(
             the (N, Npix) zabs plane from HBM and every per-pixel
             pow/log transcendental.
         tile_perm: (N // tile_batch,) int32 permutation assigning data
-            tiles to (batch, slot) positions — the epoch shuffle.
+            tiles to (batch, slot) positions — the epoch shuffle. With
+            ``n_epochs > 1``: ``(n_epochs, N // tile_batch)`` (or the
+            flattened concatenation), one permutation per epoch.
         epoch: int32 scalar — the reference's per-epoch Adam counter ``i``
-            (bias correction + LR schedule use ``epoch + 1``,
+            for the FIRST epoch of the launch (bias correction + LR
+            schedule use ``epoch + 1``,
             ``/root/reference/QFA/optimizer.py:49-69``).
-        n_batches: number of optimizer updates this epoch; batch size is
+        n_batches: number of optimizer updates per epoch; batch size is
             ``(N // n_batches)`` rows = ``tpb`` tiles of ``tile_batch``.
+        n_epochs: epochs executed inside this single launch.
+
+    Returns:
+        ``loss_sums``/``n_real`` are ``(n_batches,)`` when ``n_epochs ==
+        1`` (the historical shape) and ``(n_epochs, n_batches)`` otherwise.
     """
     npix, nh = params.F.shape
     nb = params.omega.shape[0]
@@ -779,6 +814,14 @@ def fused_train_epoch(
             f"{n_tiles} tiles not divisible by {n_batches} batches"
         )
     tpb = n_tiles // n_batches
+    if n_epochs < 1:
+        raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
+    tile_perm = tile_perm.reshape(-1)
+    if tile_perm.shape[0] != n_epochs * n_tiles:
+        raise ValueError(
+            f"tile_perm has {tile_perm.shape[0]} entries; expected "
+            f"n_epochs*n_tiles = {n_epochs}*{n_tiles}"
+        )
     # rc is the SUBLANE dim of the contraction matrix (8-multiple suffices;
     # 128 would pad the rows to 128 of wasted MXU work per dot). The Gram
     # block stores only its lower triangle (symmetric): nh(nh+1)/2 rows.
@@ -837,9 +880,11 @@ def fused_train_epoch(
     )
     blue0 = jnp.zeros((p,), f32).at[:nb].set(1.0)[None, :]
 
-    # per-epoch scheduled LR + bias correction (reference per-epoch step)
-    t = (epoch + 1).astype(f32)
-    lr = learning_rate * decay_alpha ** ((epoch + 1) // decay_step)
+    # per-epoch scheduled LR + bias correction (reference per-epoch step):
+    # one hyper-table row per epoch of the launch, counter epoch+k for row k
+    ep = jnp.asarray(epoch, jnp.int32) + jnp.arange(n_epochs, dtype=jnp.int32)
+    t = (ep + 1).astype(f32)
+    lr = learning_rate * decay_alpha ** ((ep + 1) // decay_step)
     bc1 = 1.0 - b1**t
     bc2 = 1.0 - b2**t
     law_a, law_b, law_c = tau_law_abc(tau_which)
@@ -854,10 +899,10 @@ def fused_train_epoch(
     hyper_list[H_BMIN], hyper_list[H_BMAX] = bounds.beta_min, bounds.beta_max
     hyper_list[H_CMIN], hyper_list[H_CMAX] = bounds.c0_min, bounds.c0_max
     hyper_list[H_REFNORM] = 1.0 if reference_norm else 0.0
-    hyper = jnp.asarray([hyper_list], f32)
-    hyper = hyper.at[0, H_LR].set(lr.astype(f32))
-    hyper = hyper.at[0, H_BC1].set(bc1)
-    hyper = hyper.at[0, H_BC2].set(bc2)
+    hyper = jnp.tile(jnp.asarray([hyper_list], f32), (n_epochs, 1))
+    hyper = hyper.at[:, H_LR].set(lr.astype(f32))
+    hyper = hyper.at[:, H_BC1].set(bc1)
+    hyper = hyper.at[:, H_BC2].set(bc2)
 
     scal0 = jnp.zeros((1, 16), f32)
     for slot, val in (
@@ -869,30 +914,31 @@ def fused_train_epoch(
 
     kernel = functools.partial(
         _epoch_kernel, nh=nh, tb=tb, tpb=tpb, n_batches=n_batches,
-        derive_mask=mask is None, derive_zabs=derive_zabs,
+        n_epochs=n_epochs, derive_mask=mask is None, derive_zabs=derive_zabs,
         pb=min(_round_up(nb, 128), p), p_lanes=p,
     )
     tile_spec = pl.BlockSpec(
-        (tb, p), lambda i, j, perm: (perm[i * tpb + j], 0),
+        (tb, p), lambda e, i, j, perm: (perm[e * n_tiles + i * tpb + j], 0),
         memory_space=pltpu.VMEM,
     )
     z_spec = tile_spec if not derive_zabs else pl.BlockSpec(
-        (tb, zabs_p.shape[1]), lambda i, j, perm: (perm[i * tpb + j], 0),
+        (tb, zabs_p.shape[1]),
+        lambda e, i, j, perm: (perm[e * n_tiles + i * tpb + j], 0),
         memory_space=pltpu.VMEM,
     )
 
     whole = lambda shape: pl.BlockSpec(
-        shape, lambda i, j, perm: tuple(0 for _ in shape),
+        shape, lambda e, i, j, perm: tuple(0 for _ in shape),
         memory_space=pltpu.VMEM,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(n_batches, tpb),
+        grid=(n_epochs, n_batches, tpb),
         in_specs=[
-            pl.BlockSpec((1, 24), lambda i, j, perm: (0, 0),
+            pl.BlockSpec((n_epochs, 24), lambda e, i, j, perm: (0, 0),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, 16), lambda i, j, perm: (0, 0),
+            pl.BlockSpec((1, 16), lambda e, i, j, perm: (0, 0),
                          memory_space=pltpu.SMEM),
             tile_spec,  # delta
             tile_spec,  # error
@@ -907,13 +953,15 @@ def fused_train_epoch(
         ],
         out_specs=[
             # whole-array block: rows written at dynamic offsets per batch
-            pl.BlockSpec((n_batches, 128), lambda i, j, perm: (0, 0),
-                         memory_space=pltpu.VMEM),  # per-batch loss
+            pl.BlockSpec(
+                (n_epochs * n_batches, 128), lambda e, i, j, perm: (0, 0),
+                memory_space=pltpu.VMEM,
+            ),  # per-(epoch, batch) loss
             whole((nh, p)),  # ft_out
             whole((nh, p)),  # mft_out
             whole((nh, p)),  # vft_out
             whole((8, p)),  # rows_out
-            pl.BlockSpec((1, 16), lambda i, j, perm: (0, 0),
+            pl.BlockSpec((1, 16), lambda e, i, j, perm: (0, 0),
                          memory_space=pltpu.SMEM),  # scal_out
         ],
         scratch_shapes=[
@@ -929,7 +977,7 @@ def fused_train_epoch(
     )
 
     out_shape = [
-        jax.ShapeDtypeStruct((n_batches, 128), f32),
+        jax.ShapeDtypeStruct((n_epochs * n_batches, 128), f32),
         jax.ShapeDtypeStruct((nh, p), f32),
         jax.ShapeDtypeStruct((nh, p), f32),
         jax.ShapeDtypeStruct((nh, p), f32),
@@ -979,10 +1027,14 @@ def fused_train_epoch(
         c0=scal_out[0, S_VC0],
         beta=scal_out[0, S_VBETA],
     )
+    loss_sums, n_real_out = losses[:, 0], losses[:, 2]
+    if n_epochs > 1:
+        loss_sums = loss_sums.reshape(n_epochs, n_batches)
+        n_real_out = n_real_out.reshape(n_epochs, n_batches)
     return EpochOutputs(
         params=params_out,
         m=m_out,
         v=v_out,
-        loss_sums=losses[:, 0],
-        n_real=losses[:, 2],
+        loss_sums=loss_sums,
+        n_real=n_real_out,
     )

@@ -34,6 +34,7 @@ from .loop import TrainConfig, TrainState, reshuffle_dataset
 
 __all__ = [
     "make_pallas_epoch_fn",
+    "make_pallas_chunk_fn",
     "pallas_train_epoch",
     "fit_pallas",
     "pick_tile_batch",
@@ -149,6 +150,97 @@ def make_pallas_epoch_fn(
     return epoch_fn
 
 
+def make_pallas_chunk_fn(
+    config: TrainConfig,
+    *,
+    n_epochs: int,
+    tile_batch: int,
+    derive_mask: bool = False,
+    loglam=None,
+    n_real: int | None = None,
+    interpret: bool = False,
+):
+    """Jitted MULTI-epoch dispatch: ``(state, data, base_key) ->
+    (state, losses[n_epochs])``.
+
+    One ``pallas_call`` executes ``n_epochs`` full epochs back to back
+    with parameters and Adam moments resident in on-chip scratch the
+    whole time — amortizing the device's fixed per-dispatch cost and the
+    per-epoch packing/permutation kernels over the chunk (the measured
+    remaining overhead of the single-epoch cadence; a ``lax.scan`` around
+    the kernel does NOT achieve this, it still launches per iteration).
+
+    Unlike :func:`make_pallas_epoch_fn`, the key argument is the run's
+    BASE key: epoch ``e`` of the chunk shuffles with
+    ``fold_in(base_key, state.epoch + e)`` — bit-identical to the
+    per-epoch subkeys :func:`fit_pallas` derives, so chunked and
+    unchunked runs follow the same trajectory.
+    """
+    loglam_key = None if loglam is None else np.asarray(loglam).tobytes()
+    cache_key = ("chunk", config, n_epochs, tile_batch, derive_mask,
+                 loglam_key, n_real, interpret)
+    fn = _EPOCH_FN_CACHE.get(cache_key)
+    if fn is not None:
+        _EPOCH_FN_CACHE.move_to_end(cache_key)
+        return fn
+    tb = tile_batch
+    b = config.batch_size
+
+    @jax.jit
+    def chunk_fn(state: TrainState, data: ResidualDataset, key: jax.Array):
+        n = data.delta.shape[0]
+        n_tiles = n // tb
+        ep0 = state.opt_state.epoch
+        subs = jax.vmap(lambda k: jax.random.fold_in(key, k))(
+            ep0 + jnp.arange(n_epochs)
+        )
+        perms = jax.vmap(
+            lambda k: jax.random.permutation(k, n_tiles)
+        )(subs)
+        out = fused_train_epoch(
+            state.params,
+            state.opt_state.m,
+            state.opt_state.v,
+            data.delta,
+            data.error,
+            data.zabs,
+            perms,
+            None if derive_mask else data.mask,
+            epoch=ep0,
+            n_batches=n // b,
+            n_epochs=n_epochs,
+            loglam=loglam,
+            derive_zabs=loglam is not None,
+            tile_batch=tb,
+            learning_rate=config.learning_rate,
+            weight_decay=config.weight_decay,
+            decay_alpha=config.decay_alpha,
+            decay_step=config.decay_step,
+            b1=config.b1,
+            b2=config.b2,
+            eps=config.eps,
+            bounds=config.bounds,
+            tau_which=config.options.tau_which,
+            reference_norm=config.reference_norm,
+            interpret=interpret,
+        )
+        new_state = TrainState(
+            out.params,
+            adam.AdamState(m=out.m, v=out.v, epoch=ep0 + n_epochs),
+        )
+        n_total = n if n_real is None else n_real
+        loss_sums = out.loss_sums.reshape(n_epochs, -1)
+        reals = out.n_real.reshape(n_epochs, -1)
+        batch_means = loss_sums / jnp.maximum(reals, 1.0)
+        losses = jnp.sum(batch_means, axis=1) / max(n_total // b, 1)
+        return new_state, losses
+
+    _EPOCH_FN_CACHE[cache_key] = chunk_fn
+    while len(_EPOCH_FN_CACHE) > _EPOCH_FN_CACHE_MAX:
+        _EPOCH_FN_CACHE.popitem(last=False)
+    return chunk_fn
+
+
 def pallas_train_epoch(
     state: TrainState,
     data: ResidualDataset,
@@ -204,6 +296,7 @@ def fit_pallas(
     derive_mask: bool = False,
     loglam=None,
     mesh=None,
+    epochs_per_launch: int = 1,
     interpret: bool = False,
 ) -> tuple[QFAParams, list]:
     """Full training run on the single-launch epoch engine.
@@ -224,6 +317,16 @@ def fit_pallas(
     moments closes each epoch. All epoch-boundary amenities (NaN
     rollback, smoothing, checkpoints, early stop, resume) apply
     unchanged. ``reshuffle_interval`` is not supported with a mesh.
+
+    ``epochs_per_launch > 1`` runs that many epochs inside ONE kernel
+    launch (:func:`make_pallas_chunk_fn`); chunks auto-align to every
+    smoothing/saving/reshuffle boundary, so those cadences — and the
+    training trajectory, epoch for epoch — are identical to the
+    unchunked run. Coarser-granular by construction: non-finite-loss
+    rollback restores the pre-CHUNK state, the negative-loss early stop
+    fires at the chunk end (the remaining chunk epochs have already
+    run), and held-out validation is evaluated once per chunk. Not
+    supported together with ``mesh``.
     """
     key = jax.random.key(0) if key is None else key
     state = (
@@ -293,6 +396,12 @@ def fit_pallas(
                 "reshuffle_interval is not supported with a mesh (the "
                 "shards reshuffle locally via the per-device tile "
                 "permutation)"
+            )
+        if epochs_per_launch > 1:
+            raise ValueError(
+                "epochs_per_launch > 1 is not supported with a mesh (the "
+                "whole-epoch DP engine synchronizes the replicas at every "
+                "epoch boundary)"
             )
         from ..parallel.dp import shard_dataset
 
@@ -367,7 +476,28 @@ def fit_pallas(
                 interpret=interpret,
             )
 
-    for epoch in range(start_epoch, config.n_epochs):
+    epl = 1 if mesh is not None else max(1, int(epochs_per_launch))
+    tb_chunk = tile_batch or pick_tile_batch(
+        config.batch_size, data.delta.shape[1]
+    )
+
+    epoch = start_epoch
+    while epoch < config.n_epochs:
+        # Chunks END exactly at the next epoch-boundary action, so the
+        # smoothing/saving/reshuffle cadence matches the unchunked run.
+        chunk = min(
+            epl,
+            config.n_epochs - epoch,
+            config.smooth_interval - epoch % config.smooth_interval,
+        )
+        if output_dir:
+            chunk = min(
+                chunk, config.save_interval - epoch % config.save_interval
+            )
+        if reshuffle_interval:
+            chunk = min(
+                chunk, reshuffle_interval - epoch % reshuffle_interval
+            )
         sub = jax.random.fold_in(key, epoch)
         if reshuffle_interval and epoch and epoch % reshuffle_interval == 0:
             # never donate the CALLER's buffers (first reshuffle copies)
@@ -376,16 +506,30 @@ def fit_pallas(
             )
             owns_buffers = True
         t0 = time.perf_counter()
-        prev_state = state  # rollback anchor (the epoch fn does not donate)
-        state, loss = run_epoch(state, sub)
+        prev_state = state  # rollback anchor (the epoch fns do not donate)
+        if chunk == 1:
+            state, loss = run_epoch(state, sub)
+            losses = [loss]
+        else:
+            chunk_fn = make_pallas_chunk_fn(
+                config, n_epochs=chunk, tile_batch=tb_chunk,
+                derive_mask=derive_mask, loglam=loglam, n_real=n_real,
+                interpret=interpret,
+            )
+            # the chunk fn folds the per-epoch subkeys itself: pass the
+            # BASE key so the trajectory matches the unchunked run
+            state, loss_vec = chunk_fn(state, data, key)
+            losses = [float(x) for x in np.asarray(loss_vec)]
         dt = time.perf_counter() - t0
-        history.append(loss)
-        rejected = config.reject_nonfinite and not np.isfinite(loss)
+        history.extend(losses)
+        rejected = config.reject_nonfinite and not all(
+            np.isfinite(x) for x in losses
+        )
         if rejected:
             # Epoch-granular guard_nonfinite (the in-kernel optimizer has
             # no per-step rejection): a poisoned epoch must not corrupt
             # parameters, Adam moments, or any later checkpoint. Roll back
-            # params + moments to the pre-epoch state; keep the advanced
+            # params + moments to the pre-launch state; keep the advanced
             # epoch counter so the schedule/trajectory bookkeeping matches
             # the XLA engines' "rejected step still counts" semantics.
             # Epoch-boundary actions below (interval smoothing, checkpoint
@@ -401,27 +545,30 @@ def fit_pallas(
             )
             if logger is not None:
                 logger.warning(
-                    "epoch %03d produced non-finite loss %s: update "
-                    "rejected, parameters and moments rolled back",
-                    epoch, loss,
+                    "epoch%s %03d%s produced non-finite loss %s: update"
+                    " rejected, parameters and moments rolled back",
+                    "s" if chunk > 1 else "", epoch,
+                    f"-{epoch + chunk - 1:03d}" if chunk > 1 else "",
+                    losses,
                 )
         val_loss = (
             None
             if val_fn is None or rejected
             else float(val_fn(state.params))
         )
-        if logger is not None and not rejected:
-            msg = (
-                f"epoch: {epoch:03d}/{config.n_epochs:03d}  ;  "
-                f"loss:  {loss:.2f}  ;  time:  {dt:.2f} s"
-            )
-            if val_loss is not None:
-                msg += f"  ;  val_loss:  {val_loss:.2f}"
-            logger.info(msg)
-        if metrics_cb is not None:
-            metrics_cb(epoch, loss, dt)
-        ckpt = epoch + 1
-        if config.stop_on_negative_loss and loss < 0.0:
+        for k, loss in enumerate(losses):
+            if logger is not None and not rejected:
+                msg = (
+                    f"epoch: {epoch + k:03d}/{config.n_epochs:03d}  ;  "
+                    f"loss:  {loss:.2f}  ;  time:  {dt / chunk:.2f} s"
+                )
+                if val_loss is not None and k == chunk - 1:
+                    msg += f"  ;  val_loss:  {val_loss:.2f}"
+                logger.info(msg)
+            if metrics_cb is not None:
+                metrics_cb(epoch + k, loss, dt / chunk)
+        ckpt = epoch + chunk
+        if config.stop_on_negative_loss and any(x < 0.0 for x in losses):
             state.params = smooth_params(state.params)
             if output_dir:
                 _save(state, ckpt)
@@ -430,4 +577,5 @@ def fit_pallas(
             state.params = smooth_params(state.params)
         if output_dir and ckpt % config.save_interval == 0:
             _save(state, ckpt)
+        epoch = ckpt
     return state.params, history

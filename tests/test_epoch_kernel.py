@@ -728,3 +728,112 @@ def test_zq_column_custom_weights():
         interpret=True,
     )
     assert float(jnp.sum(out.n_real)) == 56.0
+
+
+def test_multi_epoch_launch_matches_chained(problem):
+    """n_epochs > 1: ONE launch must equal chained single-epoch launches
+    BITWISE — same math, same op order, only the dispatch cadence differs
+    (the launch-amortization mode exists purely for throughput)."""
+    grid, nh, data = problem
+    n, tb, n_batches, n_ep = data.size, 8, 2, 4
+    perms = jnp.stack(
+        [
+            jax.random.permutation(jax.random.key(10 + e), n // tb)
+            for e in range(n_ep)
+        ]
+    )
+    p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+    opt0 = adam.init(p0)
+    kw = dict(
+        n_batches=n_batches, tile_batch=tb, learning_rate=1e-2,
+        weight_decay=0.01, interpret=True,
+    )
+    p, m, v = p0, opt0.m, opt0.v
+    chained = []
+    for e in range(n_ep):
+        out = fused_train_epoch(
+            p, m, v, data.delta, data.error, data.zabs, perms[e],
+            data.mask, epoch=jnp.asarray(e, jnp.int32), **kw,
+        )
+        p, m, v = out.params, out.m, out.v
+        chained.append(np.asarray(out.loss_sums))
+    out2 = fused_train_epoch(
+        p0, opt0.m, opt0.v, data.delta, data.error, data.zabs, perms,
+        data.mask, epoch=jnp.asarray(0, jnp.int32), n_epochs=n_ep, **kw,
+    )
+    assert out2.loss_sums.shape == (n_ep, n_batches)
+    assert out2.n_real.shape == (n_ep, n_batches)
+    for e in range(n_ep):
+        np.testing.assert_array_equal(
+            np.asarray(out2.loss_sums[e]), chained[e], err_msg=f"epoch {e}"
+        )
+    for name in ("F", "Psi", "omega", "tau0", "c0", "beta"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out2.params, name)),
+            np.asarray(getattr(p, name)), err_msg=name,
+        )
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out2.m, name)),
+            np.asarray(getattr(m, name)), err_msg=f"m.{name}",
+        )
+        np.testing.assert_array_equal(
+            np.asarray(getattr(out2.v, name)),
+            np.asarray(getattr(v, name)), err_msg=f"v.{name}",
+        )
+
+
+def test_fit_pallas_epochs_per_launch_matches(problem):
+    """Chunked fit_pallas follows the unchunked trajectory epoch for epoch
+    (chunks auto-align to the smoothing boundary; the chunk fn re-derives
+    the same fold_in subkeys the per-epoch loop uses)."""
+    from qfa_tpu.train import fit_pallas
+
+    grid, nh, data = problem
+    mu = jnp.full((grid.npix,), 1.1, jnp.float32)
+    p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+    cfg = TrainConfig(
+        batch_size=32, learning_rate=1e-2, weight_decay=0.01, n_epochs=7,
+        smooth_interval=5, save_interval=5,
+    )
+    key = jax.random.key(7)
+    pa, ha = fit_pallas(p0, data, mu, cfg, key=key, interpret=True)
+    pb, hb = fit_pallas(
+        p0, data, mu, cfg, key=key, interpret=True, epochs_per_launch=3
+    )
+    np.testing.assert_array_equal(ha, hb)
+    for name in ("F", "Psi", "omega", "tau0", "c0", "beta"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(pa, name)), np.asarray(getattr(pb, name)),
+            err_msg=name,
+        )
+
+
+def test_fit_pallas_chunked_rejects_nonfinite(problem, caplog):
+    """A poisoned CHUNK rolls back to the pre-launch state (chunk-granular
+    guard_nonfinite: the multi-epoch launch cannot reject mid-chunk)."""
+    import logging
+
+    from qfa_tpu.train import fit_pallas
+
+    grid, nh, data = problem
+    mu = jnp.full((grid.npix,), 1.1, jnp.float32)
+    poisoned = ResidualDataset(
+        delta=data.delta.at[3, 10].set(jnp.inf),
+        error=data.error, zabs=data.zabs, mask=data.mask,
+    )
+    cfg = TrainConfig(
+        n_epochs=4, batch_size=32, learning_rate=1e-2, weight_decay=0.0,
+        smooth_interval=100, save_interval=100,
+    )
+    p0 = random_init(jax.random.key(5), grid.npix, grid.nb, nh)
+    logger = logging.getLogger("test_nonfinite_chunk")
+    with caplog.at_level(logging.WARNING, logger=logger.name):
+        params, history = fit_pallas(
+            p0, poisoned, mu, cfg, key=jax.random.key(6), tile_batch=8,
+            logger=logger, interpret=True, epochs_per_launch=2,
+        )
+    assert len(history) == 4 and not np.isfinite(history).any()
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(p0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    rejects = [r for r in caplog.records if "rolled back" in r.message]
+    assert len(rejects) == 2  # one per 2-epoch chunk
