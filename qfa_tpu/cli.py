@@ -298,13 +298,15 @@ def run_train(cfg: ConfigNode) -> None:
                 logger.info(
                     "resident layout: in-kernel mask + zq-column redshifts"
                 )
-            if mesh is None and cfg.TRAIN.EPOCHS_PER_LAUNCH > 1:
+            if cfg.TRAIN.EPOCHS_PER_LAUNCH > 1:
                 pallas_kwargs["epochs_per_launch"] = (
                     cfg.TRAIN.EPOCHS_PER_LAUNCH
                 )
                 logger.info(
-                    "launch fusion: up to %d epochs per kernel launch",
+                    "launch fusion: up to %d epochs per kernel launch%s",
                     cfg.TRAIN.EPOCHS_PER_LAUNCH,
+                    "" if mesh is None else
+                    " (mesh replicas average once per chunk)",
                 )
             params, history = fit_pallas(
                 params, residuals, mu, train_cfg, val_data=val_residuals,

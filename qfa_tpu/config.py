@@ -189,7 +189,10 @@ def default_config() -> ConfigNode:
                 #: v5e at 5). Chunks auto-align to every smoothing/saving
                 #: boundary so the trajectory matches 1 exactly; NaN
                 #: rollback, early stop, and validation become
-                #: chunk-granular. 1 = reference-exact cadence.
+                #: chunk-granular. On a mesh, the replicas also average
+                #: once per CHUNK instead of per epoch (local SGD with
+                #: sync every N epochs — N x less ICI traffic, drifting
+                #: trajectory). 1 = reference-exact cadence.
                 "EPOCHS_PER_LAUNCH": 1,
             },
             # TPU-native extensions

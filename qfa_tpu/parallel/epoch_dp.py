@@ -45,6 +45,7 @@ def make_epoch_dp_fn(
     tile_batch: int = 256,
     loglam=None,
     n_real: int | None = None,
+    epochs_per_launch: int = 1,
     interpret: bool = False,
 ):
     """Jitted multi-chip epoch ``(state, data, key) -> (state, loss)``.
@@ -65,6 +66,16 @@ def make_epoch_dp_fn(
     psum'd across devices before the batch-mean division, so the reported
     epoch loss is the true global batch-mean sum over
     ``floor(n_real / batch_size)``.
+
+    ``epochs_per_launch > 1`` fuses that many epochs into ONE kernel
+    launch per device AND one collective per launch: the replicas
+    average only at chunk ends (local SGD with sync every N epochs —
+    N x less ICI traffic and launch overhead, more local drift between
+    syncs than per-epoch averaging). The returned fn then takes the
+    run's BASE key — epoch ``e`` of the chunk derives its per-device
+    permutation from ``fold_in(fold_in(base, epoch0 + e), device)``,
+    matching the per-epoch subkeys the ``epochs_per_launch == 1`` cadence
+    uses — and returns ``(state, losses[n_epochs])``.
     """
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
@@ -80,6 +91,9 @@ def make_epoch_dp_fn(
             f"tile_batch {tb} does not divide the local batch {b_local} "
             f"(global batch {config.batch_size} over {ndev} devices)"
         )
+    epl = int(epochs_per_launch)
+    if epl < 1:
+        raise ValueError(f"epochs_per_launch must be >= 1, got {epl}")
 
     def local_epoch(state: TrainState, data: ResidualDataset, key):
         n_local = data.delta.shape[0]
@@ -89,9 +103,22 @@ def make_epoch_dp_fn(
                 f"{n_local // b_local} batches of {b_local} ({tb}-row tiles)"
             )
         dev = jax.lax.axis_index(axis)
-        perm = jax.random.permutation(
-            jax.random.fold_in(key, dev), n_local // tb
-        )
+        if epl == 1:
+            perm = jax.random.permutation(
+                jax.random.fold_in(key, dev), n_local // tb
+            )
+        else:
+            # chunked: `key` is the run's BASE key; per-epoch subkeys are
+            # re-derived exactly as the epl == 1 caller derives them
+            ep0 = state.opt_state.epoch
+            subs = jax.vmap(lambda k: jax.random.fold_in(key, k))(
+                ep0 + jnp.arange(epl)
+            )
+            perm = jax.vmap(
+                lambda s: jax.random.permutation(
+                    jax.random.fold_in(s, dev), n_local // tb
+                )
+            )(subs)
         out = fused_train_epoch(
             state.params,
             state.opt_state.m,
@@ -103,6 +130,7 @@ def make_epoch_dp_fn(
             data.mask,
             epoch=state.opt_state.epoch,
             n_batches=n_local // b_local,
+            n_epochs=epl,
             loglam=loglam,
             derive_zabs=loglam is not None,
             tile_batch=tb,
@@ -126,10 +154,10 @@ def make_epoch_dp_fn(
         flat, treedef = jax.tree.flatten((out.params, out.m, out.v))
         sizes = [int(np.prod(x.shape)) if x.shape else 1 for x in flat]
         shapes = [x.shape for x in flat]
-        nb_ = out.loss_sums.shape[0]
+        books = out.loss_sums.size  # epl * n_batches entries per book
         vec = jnp.concatenate(
             [x.reshape(-1).astype(jnp.float32) / ndev for x in flat]
-            + [out.loss_sums, out.n_real]
+            + [out.loss_sums.reshape(-1), out.n_real.reshape(-1)]
         )
         vec = jax.lax.psum(vec, axis)
         parts, off = [], 0
@@ -137,15 +165,21 @@ def make_epoch_dp_fn(
             parts.append(vec[off : off + sz].reshape(shp))
             off += sz
         params, m_avg, v_avg = jax.tree.unflatten(treedef, parts)
-        loss_sums = vec[off : off + nb_]
-        n_real_b = vec[off + nb_ : off + 2 * nb_]
+        loss_sums = vec[off : off + books]
+        n_real_b = vec[off + books : off + 2 * books]
         new_state = TrainState(
             params,
-            adam.AdamState(m=m_avg, v=v_avg, epoch=state.opt_state.epoch + 1),
+            adam.AdamState(
+                m=m_avg, v=v_avg, epoch=state.opt_state.epoch + epl
+            ),
         )
         n_total = n_local * ndev if n_real is None else n_real
         batch_means = loss_sums / jnp.maximum(n_real_b, 1.0)
-        loss = jnp.sum(batch_means) / max(n_total // config.batch_size, 1)
+        denom = max(n_total // config.batch_size, 1)
+        if epl == 1:
+            loss = jnp.sum(batch_means) / denom
+        else:
+            loss = jnp.sum(batch_means.reshape(epl, -1), axis=1) / denom
         return new_state, loss
 
     rep = P()

@@ -325,8 +325,12 @@ def fit_pallas(
     unchunked run. Coarser-granular by construction: non-finite-loss
     rollback restores the pre-CHUNK state, the negative-loss early stop
     fires at the chunk end (the remaining chunk epochs have already
-    run), and held-out validation is evaluated once per chunk. Not
-    supported together with ``mesh``.
+    run), and held-out validation is evaluated once per chunk. With a
+    ``mesh`` the chunks run on the multi-chip engine with ONE collective
+    per chunk — the replicas average every ``epochs_per_launch`` epochs
+    instead of every epoch (local SGD with sync every N epochs; the
+    trajectory therefore differs from the per-epoch-averaged run, unlike
+    the single-device case where chunking is bitwise-neutral).
     """
     key = jax.random.key(0) if key is None else key
     state = (
@@ -397,12 +401,6 @@ def fit_pallas(
                 "shards reshuffle locally via the per-device tile "
                 "permutation)"
             )
-        if epochs_per_launch > 1:
-            raise ValueError(
-                "epochs_per_launch > 1 is not supported with a mesh (the "
-                "whole-epoch DP engine synchronizes the replicas at every "
-                "epoch boundary)"
-            )
         from ..parallel.dp import shard_dataset
 
         data = shard_dataset(data, mesh)
@@ -462,12 +460,24 @@ def fit_pallas(
             config, mesh, tile_batch=tb_dp, loglam=loglam, n_real=n_real,
             interpret=interpret,
         )
+        dp_chunk_fns: dict = {}  # chunk size -> jitted multi-epoch dp fn
+
+        def make_chunk_runner(chunk):
+            fn = dp_chunk_fns.get(chunk)
+            if fn is None:
+                fn = dp_chunk_fns[chunk] = make_epoch_dp_fn(
+                    config, mesh, tile_batch=tb_dp, loglam=loglam,
+                    n_real=n_real, epochs_per_launch=chunk,
+                    interpret=interpret,
+                )
+            return fn
 
         def run_epoch(state, sub):
             st, loss = dp_epoch_fn(state, data, sub)
             return st, float(loss)
 
     else:
+        make_chunk_runner = None
 
         def run_epoch(state, sub):
             return pallas_train_epoch(
@@ -476,7 +486,7 @@ def fit_pallas(
                 interpret=interpret,
             )
 
-    epl = 1 if mesh is not None else max(1, int(epochs_per_launch))
+    epl = max(1, int(epochs_per_launch))
     tb_chunk = tile_batch or pick_tile_batch(
         config.batch_size, data.delta.shape[1]
     )
@@ -511,13 +521,16 @@ def fit_pallas(
             state, loss = run_epoch(state, sub)
             losses = [loss]
         else:
-            chunk_fn = make_pallas_chunk_fn(
-                config, n_epochs=chunk, tile_batch=tb_chunk,
-                derive_mask=derive_mask, loglam=loglam, n_real=n_real,
-                interpret=interpret,
-            )
-            # the chunk fn folds the per-epoch subkeys itself: pass the
-            # BASE key so the trajectory matches the unchunked run
+            if make_chunk_runner is not None:
+                chunk_fn = make_chunk_runner(chunk)
+            else:
+                chunk_fn = make_pallas_chunk_fn(
+                    config, n_epochs=chunk, tile_batch=tb_chunk,
+                    derive_mask=derive_mask, loglam=loglam, n_real=n_real,
+                    interpret=interpret,
+                )
+            # the chunk fns fold the per-epoch subkeys themselves: pass
+            # the BASE key so per-epoch shuffles match the unchunked run
             state, loss_vec = chunk_fn(state, data, key)
             losses = [float(x) for x in np.asarray(loss_vec)]
         dt = time.perf_counter() - t0

@@ -359,3 +359,96 @@ def test_epoch_dp_scalar_leaves_survive_fused_collective(problem):
     # moments keep their structure too
     assert new_state.opt_state.m.F.shape == st.params.F.shape
     assert new_state.opt_state.v.omega.shape == st.params.omega.shape
+
+
+def test_epoch_dp_chunked_one_device_matches_chained(problem):
+    """epochs_per_launch on a 1-device mesh: pmean is identity, so the
+    chunked fn must reproduce the per-epoch-sync'd trajectory BITWISE —
+    this pins the chunk fn's base-key -> per-epoch-subkey derivation
+    against the cadence fit_pallas uses for epl == 1."""
+    from qfa_tpu.parallel import make_epoch_dp_fn, shard_dataset
+
+    grid, data = problem
+    mesh = make_mesh(1)
+    cfg = TrainConfig(batch_size=32, learning_rate=1e-2, weight_decay=0.01)
+    sharded = shard_dataset(data, mesh)
+    base = jax.random.key(11)
+
+    st = fresh_state(grid)
+    fn1 = make_epoch_dp_fn(cfg, mesh, tile_batch=8, interpret=True)
+    chained_losses = []
+    for e in range(3):
+        st, loss = fn1(st, sharded, jax.random.fold_in(base, e))
+        chained_losses.append(float(loss))
+
+    fn3 = make_epoch_dp_fn(
+        cfg, mesh, tile_batch=8, epochs_per_launch=3, interpret=True
+    )
+    st3, losses = fn3(fresh_state(grid), sharded, base)
+    assert losses.shape == (3,)
+    np.testing.assert_array_equal(
+        np.asarray(losses), np.asarray(chained_losses, np.float32)
+    )
+    for name in ("F", "Psi", "omega", "tau0", "c0", "beta"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(st3.params, name)),
+            np.asarray(getattr(st.params, name)), err_msg=name,
+        )
+    assert int(st3.opt_state.epoch) == 3
+
+
+def test_epoch_dp_chunked_matches_manual_local_sgd(problem):
+    """epochs_per_launch=2 on a 2-device mesh equals the hand-built local
+    SGD: each shard runs the 2-epoch fused kernel independently (perms
+    from the same device-folded subkeys), then params/moments average and
+    per-batch loss books sum across shards."""
+    from qfa_tpu.ops.epoch_kernel import fused_train_epoch
+    from qfa_tpu.parallel import make_epoch_dp_fn, shard_dataset
+
+    grid, data = problem
+    ndev, epl, b_global = 2, 2, 32
+    mesh = make_mesh(ndev)
+    cfg = TrainConfig(batch_size=b_global, learning_rate=1e-2,
+                      weight_decay=0.01)
+    st0 = fresh_state(grid)
+    base = jax.random.key(13)
+    fn = make_epoch_dp_fn(
+        cfg, mesh, tile_batch=8, epochs_per_launch=epl, interpret=True
+    )
+    st, losses = fn(st0, shard_dataset(data, mesh), base)
+
+    n = data.delta.shape[0]
+    n_local, b_local, tb = n // ndev, b_global // ndev, 8
+    subs = [jax.random.fold_in(base, e) for e in range(epl)]
+    outs = []
+    for d in range(ndev):
+        sl = slice(d * n_local, (d + 1) * n_local)
+        perms = jnp.stack([
+            jax.random.permutation(
+                jax.random.fold_in(subs[e], jnp.uint32(d)), n_local // tb
+            )
+            for e in range(epl)
+        ])
+        outs.append(fused_train_epoch(
+            st0.params, st0.opt_state.m, st0.opt_state.v,
+            data.delta[sl], data.error[sl], data.zabs[sl], perms,
+            data.mask[sl], epoch=st0.opt_state.epoch,
+            n_batches=n_local // b_local, n_epochs=epl, tile_batch=tb,
+            learning_rate=cfg.learning_rate, weight_decay=cfg.weight_decay,
+            interpret=True,
+        ))
+    for name in ("F", "Psi", "omega", "tau0", "c0", "beta"):
+        avg = sum(
+            np.asarray(getattr(o.params, name), np.float32) / ndev
+            for o in outs
+        )
+        np.testing.assert_allclose(
+            np.asarray(getattr(st.params, name)), avg, rtol=1e-6,
+            atol=1e-7, err_msg=name,
+        )
+    loss_sums = sum(np.asarray(o.loss_sums) for o in outs)
+    n_real_b = sum(np.asarray(o.n_real) for o in outs)
+    expect = (loss_sums / np.maximum(n_real_b, 1.0)).sum(axis=1) / (
+        n // b_global
+    )
+    np.testing.assert_allclose(np.asarray(losses), expect, rtol=1e-6)
