@@ -397,6 +397,46 @@ def test_epoch_dp_chunked_one_device_matches_chained(problem):
     assert int(st3.opt_state.epoch) == 3
 
 
+def test_fit_pallas_mesh_chunked_matches_per_epoch(problem, tmp_path):
+    """fit_pallas(mesh=..., epochs_per_launch=3) on a ONE-device mesh must
+    reproduce the epochs_per_launch=1 mesh run epoch-for-epoch (pmean is
+    identity there, and the chunk fn re-derives the per-epoch subkeys from
+    the base key), with chunks still aligning to the smoothing/saving
+    cadence."""
+    import os
+
+    from qfa_tpu.train import fit_pallas
+
+    grid, data = problem
+    mesh = make_mesh(1)
+    cfg = TrainConfig(n_epochs=5, batch_size=32, learning_rate=1e-2,
+                      weight_decay=0.01, smooth_interval=2, save_interval=2)
+    p0 = random_init(jax.random.key(5), grid.npix, grid.nb, 4)
+    kw = dict(key=jax.random.key(7), tile_batch=8, mesh=mesh,
+              interpret=True)
+
+    out1 = str(tmp_path / "per_epoch")
+    params1, hist1 = fit_pallas(p0, data, mu=jnp.ones((grid.npix,)),
+                                config=cfg, output_dir=out1, **kw)
+    out3 = str(tmp_path / "chunked")
+    params3, hist3 = fit_pallas(p0, data, mu=jnp.ones((grid.npix,)),
+                                config=cfg, output_dir=out3,
+                                epochs_per_launch=3, **kw)
+
+    np.testing.assert_array_equal(np.asarray(hist3, np.float32),
+                                  np.asarray(hist1, np.float32))
+    for name in ("F", "Psi", "omega", "tau0", "c0", "beta"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(params3, name)),
+            np.asarray(getattr(params1, name)), err_msg=name,
+        )
+    # the save cadence survived chunk alignment
+    for ck in ("02", "04"):
+        assert os.path.exists(
+            f"{out3}/checkpoints/model_parameters_epoch_{ck}.npz"
+        )
+
+
 def test_epoch_dp_chunked_matches_manual_local_sgd(problem):
     """epochs_per_launch=2 on a 2-device mesh equals the hand-built local
     SGD: each shard runs the 2-epoch fused kernel independently (perms
