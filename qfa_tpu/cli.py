@@ -255,8 +255,14 @@ def run_train(cfg: ConfigNode) -> None:
         smooth_interval=cfg.TRAIN.SMOOTH_INTERVAL,
         save_interval=cfg.TRAIN.SAVE_INTERVAL,
         reference_norm=cfg.TRAIN.REFERENCE_NORM,
+        mxu_bf16=cfg.TRAIN.MXU_BF16,
         options=ModelOptions(tau_which=cfg.MODEL.TAU),
     )
+    if cfg.TRAIN.MXU_BF16 and use_pallas:
+        logger.info(
+            "mxu mode: bf16 passes on the heavy in-kernel dots "
+            "(f32 accumulation; ~5e-7 relative loss drift)"
+        )
     if cfg.TRAIN.BF16_PLANES:
         # capacity mode: halve the resident delta/error bytes; every
         # engine casts tiles/batches back to f32 before arithmetic

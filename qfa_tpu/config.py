@@ -184,6 +184,12 @@ def default_config() -> ConfigNode:
                 #: chip; kernel arithmetic stays f32). Measured ~0.7x the
                 #: f32 epoch rate on v5e — trade speed for residency.
                 "BF16_PLANES": False,
+                #: Pallas engine: run the heavy in-kernel contractions as
+                #: bfloat16 MXU passes with f32 accumulation (~20% faster
+                #: headline epochs on v5e; loss trajectory drifts ~5e-7
+                #: relative over tens of epochs). The default False keeps
+                #: the engine loss-curve-parity with the XLA/f32 path.
+                "MXU_BF16": False,
                 #: Pallas engine: epochs fused into ONE kernel launch
                 #: (amortizes the fixed dispatch cost, ~+9% epoch rate on
                 #: v5e at 5). Chunks auto-align to every smoothing/saving

@@ -237,6 +237,7 @@ def _epoch_kernel(
     derive_zabs: bool,
     pb: int,  #: blue-padded lane count (round_up(nb, 128), <= p_lanes)
     p_lanes: int,  #: full padded pixel width P
+    mxu_bf16: bool,  #: bf16 passes (f32 accumulate) on the heavy dots
 ):
     mask_ref = None
     if not derive_mask:
@@ -365,16 +366,17 @@ def _epoch_kernel(
             [amp_b * dinv_b * delta_m[:, :pb], dinv_r * delta_m[:, pb:]],
             axis=1,
         )
-        mblue = m[:, :pb] * blue_b  # (TB, PB)
     else:
         d = amp_b * amp_b * psi + omega_row * zdep_b + err * err
         d_safe = jnp.where(m > 0, d, 1.0)
         dinv = m / d_safe
         w_row = amp_b * amp_b * dinv
         u_row = amp_b * dinv * delta_m
-        mblue = m * blue
-    q_row = delta_m * delta_m * dinv
-    logd_row = m * jnp.log(d_safe)
+    q_row = delta_m * delta_m * dinv  # reused by the backward (dd)
+    # quad and logdet enter the NLL only as a SUM — folding them into one
+    # plane halves their lane reductions (each (1, P) x (TB, P) ones-dot
+    # costs a full MXU block-pass regardless of its single output row)
+    ql_row = q_row + m * jnp.log(d_safe)
 
     rhst = rhst_scr[...]
 
@@ -386,13 +388,31 @@ def _epoch_kernel(
         # per-spectrum math below never mixes offsets (Mosaic requirement)
         return jax.lax.dot_general(rows, x, (((1,), (1,)), ((), ())), **_HP)
 
-    k_t = dot_lanes(rhst_scr[0:ntri, :], w_row)  # (ntri, TB)
-    w_t = dot_lanes(rhst_scr[ntri : ntri + nh, :], u_row)  # (nh, TB)
+    # The HEAVY dots (Gram/F projections + the four backward contractions)
+    # optionally run as true bf16 MXU passes with f32 accumulation
+    # (``mxu_bf16``): ~2.5x the per-pass throughput on the v5e for a
+    # ~5e-7 relative loss-trajectory drift over tens of epochs (measured;
+    # SGD absorbs the rounding). Loss bookkeeping, counts and the scalar-
+    # gradient lane sums stay f32-HIGHEST.
+    def dot_big(a, b, dims):
+        if mxu_bf16:
+            return jax.lax.dot_general(
+                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dims,
+                preferred_element_type=f32,
+            )
+        return jax.lax.dot_general(a, b, dims, **_HP)
+
+    lanes_dims = (((1,), (1,)), ((), ()))
+    k_t = dot_big(rhst_scr[0:ntri, :], w_row, lanes_dims)  # (ntri, TB)
+    w_t = dot_big(rhst_scr[ntri : ntri + nh, :], u_row, lanes_dims)
     ones_r = rhst_scr[ones_row : ones_row + 1, :]  # (1, P)
-    quad = dot_lanes(ones_r, q_row)  # (1, TB)
-    logdet_d = dot_lanes(ones_r, logd_row)
-    n_obs = dot_lanes(ones_r, m)
-    n_blue = dot_lanes(ones_r[:, :pb] if split else ones_r, mblue)
+    sum_ql = dot_lanes(ones_r, ql_row)  # (1, TB) quad + logdet_d
+    # both counts in ONE MXU pass: [ones; blue] x m -> [n_obs; n_blue]
+    # (blue is a static row, so n_blue = sum_p blue[p] m[t,p] needs no
+    # masked mblue plane)
+    cnt2 = dot_lanes(jnp.concatenate([ones_r, blue_ref[...]], axis=0), m)
+    n_obs = cnt2[0:1, :]
+    n_blue = cnt2[1:2, :]
 
     # expand the triangle back to the flat (a*nh+b) list the factorization
     # indexes; the Cholesky only ever reads the lower triangle, so shared
@@ -408,9 +428,10 @@ def _epoch_kernel(
     chol = _chol_t(k_cols, nh)
     y = _solve_lower_t(chol, w_cols, nh)
     alpha = _solve_upper_t(chol, y, nh)
-    mahal = quad - sum(yi * yi for yi in y)
     logdet_k = 2.0 * sum(jnp.log(chol[a][a]) for a in range(nh))
-    nll_b = 0.5 * (mahal + n_obs * LOG_2PI + logdet_d + logdet_k)  # (1, TB)
+    nll_b = 0.5 * (
+        sum_ql - sum(yi * yi for yi in y) + n_obs * LOG_2PI + logdet_k
+    )  # (1, TB)
     # lane sums via one thin MXU dot: (3, TB) @ (TB, 1)
     ones_tb1 = jnp.ones((tb, 1), f32)
     sums3 = jax.lax.dot_general(
@@ -457,12 +478,11 @@ def _epoch_kernel(
     s_t = jnp.concatenate(s_tri, axis=0)  # (ntri, TB)
     alpha_t = jnp.concatenate(alpha, axis=0)  # (nh, TB)
 
-    dw_pix = jax.lax.dot_general(
-        s_t, rhst_scr[0:ntri, :], (((0,), (0,)), ((), ())), **_HP
+    dw_pix = dot_big(
+        s_t, rhst_scr[0:ntri, :], (((0,), (0,)), ((), ()))
     )  # (TB, P)
-    du_pix = jax.lax.dot_general(
-        -alpha_t, rhst_scr[ntri : ntri + nh, :],
-        (((0,), (0,)), ((), ())), **_HP,
+    du_pix = dot_big(
+        -alpha_t, rhst_scr[ntri : ntri + nh, :], (((0,), (0,)), ((), ()))
     )
 
     # two accumulation dots, each contracting only TB: the old fused
@@ -471,11 +491,11 @@ def _epoch_kernel(
     # distinct row ranges; concat + zero-pad keeps the scratch update one
     # aligned full-block add.
     pad_rows = drhst_scr.shape[0] - (ntri + nh)
-    dg_rows = jax.lax.dot_general(
-        s_t, w_row, (((1,), (0,)), ((), ())), **_HP
+    dg_rows = dot_big(
+        s_t, w_row, (((1,), (0,)), ((), ()))
     )  # (ntri, P)
-    du_rows = jax.lax.dot_general(
-        -alpha_t, u_row, (((1,), (0,)), ((), ())), **_HP
+    du_rows = dot_big(
+        -alpha_t, u_row, (((1,), (0,)), ((), ()))
     )  # (nh, P)
     drhst_scr[...] += jnp.concatenate(
         [dg_rows, du_rows, jnp.zeros((pad_rows, dg_rows.shape[1]), f32)],
@@ -720,7 +740,7 @@ def _validate_zq(zabs: Array, loglam, n: int) -> None:
     jax.jit,
     static_argnames=(
         "n_batches", "n_epochs", "tile_batch", "tau_which", "reference_norm",
-        "interpret", "derive_zabs",
+        "mxu_bf16", "interpret", "derive_zabs",
     ),
 )
 def fused_train_epoch(
@@ -749,6 +769,7 @@ def fused_train_epoch(
     bounds: ParamBounds = ParamBounds(),
     tau_which: str = "becker",
     reference_norm: bool = True,
+    mxu_bf16: bool = False,
     interpret: bool = False,
 ) -> EpochOutputs:
     """Run one (or several) full training epochs in a single Pallas launch.
@@ -797,6 +818,14 @@ def fused_train_epoch(
         n_batches: number of optimizer updates per epoch; batch size is
             ``(N // n_batches)`` rows = ``tpb`` tiles of ``tile_batch``.
         n_epochs: epochs executed inside this single launch.
+        mxu_bf16: run the heavy in-kernel contractions (Gram/F projections
+            and the four backward dots) as true bfloat16 MXU passes with
+            f32 accumulation — ~2.5x their per-pass throughput on the v5e
+            (~20% epoch time at the 65k SDSS headline) for a measured
+            ~5e-7 relative loss-trajectory drift over tens of epochs.
+            Loss bookkeeping, counts, the Cholesky/solve chain and the
+            scalar-gradient lane sums stay f32. Off by default (the
+            default engine is loss-curve-parity with the XLA path).
 
     Returns:
         ``loss_sums``/``n_real`` are ``(n_batches,)`` when ``n_epochs ==
@@ -915,7 +944,7 @@ def fused_train_epoch(
     kernel = functools.partial(
         _epoch_kernel, nh=nh, tb=tb, tpb=tpb, n_batches=n_batches,
         n_epochs=n_epochs, derive_mask=mask is None, derive_zabs=derive_zabs,
-        pb=min(_round_up(nb, 128), p), p_lanes=p,
+        pb=min(_round_up(nb, 128), p), p_lanes=p, mxu_bf16=mxu_bf16,
     )
     tile_spec = pl.BlockSpec(
         (tb, p), lambda e, i, j, perm: (perm[e * n_tiles + i * tpb + j], 0),

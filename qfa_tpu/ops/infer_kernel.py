@@ -188,8 +188,10 @@ def _predict_kernel(
         dinv = m / d_safe
         w_row = amp_b * amp_b * dinv
         u_row = amp_b * dinv * delta
-    q_row = delta * delta * dinv
-    logd_row = m * jnp.log(d_safe)
+    # quad and logdet enter the NLL only as a SUM — one folded plane
+    # halves their lane reductions (a (1, P) ones-dot costs a full MXU
+    # block-pass regardless of its single output row; cf. epoch_kernel)
+    ql_row = delta * delta * dinv + m * jnp.log(d_safe)
 
     # lane-major small-matrix work (spectra on lanes; each MXU output is
     # lane-offset-0 so the per-spectrum math never mixes offsets)
@@ -202,8 +204,7 @@ def _predict_kernel(
     k_t = dot_lanes(rhst_ref[0:ntri, :], w_row)  # (ntri, TB)
     w_t = dot_lanes(rhst_ref[ntri : ntri + nh, :], u_row)  # (nh, TB)
     ones_r = rhst_ref[ones_row : ones_row + 1, :]
-    quad = dot_lanes(ones_r, q_row)  # (1, TB)
-    logdet_d = dot_lanes(ones_r, logd_row)
+    sum_ql = dot_lanes(ones_r, ql_row)  # (1, TB) quad + logdet_d
     n_obs = dot_lanes(ones_r, m)
 
     # triangle -> flat (a*nh+b) list; the Cholesky reads the lower half only
@@ -218,9 +219,10 @@ def _predict_kernel(
     chol = _chol_t(k_cols, nh)
     y = _solve_lower_t(chol, w_cols, nh)
     alpha = _solve_upper_t(chol, y, nh)  # hmean rows (1, TB)
-    mahal = quad - sum(yi * yi for yi in y)
     logdet_k = 2.0 * sum(jnp.log(chol[a][a]) for a in range(nh))
-    ll = 0.5 * (mahal + n_obs * LOG_2PI + logdet_d + logdet_k)  # (1, TB)
+    ll = 0.5 * (
+        sum_ql - sum(yi * yi for yi in y) + n_obs * LOG_2PI + logdet_k
+    )  # (1, TB)
 
     # K^-1 rows (posterior covariance), lane-major; full set feeds the
     # stats output, a pre-doubled lower triangle feeds the symmetric

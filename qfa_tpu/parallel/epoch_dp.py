@@ -144,6 +144,7 @@ def make_epoch_dp_fn(
             bounds=config.bounds,
             tau_which=config.options.tau_which,
             reference_norm=config.reference_norm,
+            mxu_bf16=config.mxu_bf16,
             interpret=interpret,
         )
         # THE collective of the epoch — exactly one. A per-leaf tree-pmean

@@ -91,6 +91,10 @@ class TrainConfig:
     reference_norm: bool = True  #: per-element nonzero-count grad averaging.
     stop_on_negative_loss: bool = True
     reject_nonfinite: bool = True  #: skip updates whose loss/params go NaN/Inf.
+    #: bf16 MXU passes (f32 accumulate) on the Pallas epoch kernel's heavy
+    #: dots: ~20% faster headline epochs for a ~5e-7 relative loss drift.
+    #: Pallas engines only; the XLA engines ignore it (they stay f32).
+    mxu_bf16: bool = False
     options: ModelOptions = ModelOptions()
     bounds: ParamBounds = DEFAULT_BOUNDS
 

@@ -128,6 +128,7 @@ def make_pallas_epoch_fn(
             bounds=config.bounds,
             tau_which=config.options.tau_which,
             reference_norm=config.reference_norm,
+            mxu_bf16=config.mxu_bf16,
             interpret=interpret,
         )
         new_state = TrainState(
@@ -222,6 +223,7 @@ def make_pallas_chunk_fn(
             bounds=config.bounds,
             tau_which=config.options.tau_which,
             reference_norm=config.reference_norm,
+            mxu_bf16=config.mxu_bf16,
             interpret=interpret,
         )
         new_state = TrainState(

@@ -837,3 +837,59 @@ def test_fit_pallas_chunked_rejects_nonfinite(problem, caplog):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     rejects = [r for r in caplog.records if "rolled back" in r.message]
     assert len(rejects) == 2  # one per 2-epoch chunk
+
+
+def test_mxu_bf16_mode_close_to_f32(problem):
+    """``mxu_bf16`` rounds the heavy-dot operands to bfloat16 (f32
+    accumulation): the multi-epoch trajectory must stay CLOSE to the f32
+    engine yet actually differ — proving the casts are live (interpret
+    mode rounds for real on CPU) and harmless."""
+    grid, nh, data = problem
+    n = data.size
+    tb, n_batches, n_epochs = 8, 2, 6
+    perms = jnp.concatenate([
+        jax.random.permutation(jax.random.fold_in(jax.random.key(9), e),
+                               n // tb)
+        for e in range(n_epochs)
+    ])
+    p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+    m0 = adam.init(p0)
+
+    def run(mxu_bf16):
+        return fused_train_epoch(
+            p0, m0.m, m0.v,
+            data.delta, data.error, data.zabs, perms,
+            epoch=jnp.asarray(0, jnp.int32),
+            n_batches=n_batches, n_epochs=n_epochs, tile_batch=tb,
+            learning_rate=1e-2, weight_decay=0.01,
+            mxu_bf16=mxu_bf16, interpret=True,
+        )
+
+    out32, outbf = run(False), run(True)
+    l32 = np.asarray(out32.loss_sums, np.float64).sum()
+    lbf = np.asarray(outbf.loss_sums, np.float64).sum()
+    assert lbf != l32  # the bf16 passes are actually active
+    assert abs(lbf - l32) / abs(l32) < 5e-3
+    for name in ("F", "Psi", "omega", "tau0", "c0", "beta"):
+        a = np.asarray(getattr(outbf.params, name))
+        b = np.asarray(getattr(out32.params, name))
+        np.testing.assert_allclose(a, b, rtol=0.05, atol=5e-3, err_msg=name)
+
+
+def test_mxu_bf16_flows_from_train_config(problem):
+    """TrainConfig.mxu_bf16 reaches the Pallas engine (the config is part
+    of the epoch-fn cache key, so both modes coexist in one process)."""
+    from qfa_tpu.train.pallas_engine import make_pallas_epoch_fn
+
+    grid, nh, data = problem
+    p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+    losses = {}
+    for flag in (False, True):
+        cfg = TrainConfig(batch_size=32, learning_rate=1e-2,
+                          mxu_bf16=flag)
+        fn = make_pallas_epoch_fn(cfg, tile_batch=8, interpret=True)
+        _, loss = fn(TrainState(p0, adam.init(p0)), data,
+                     jax.random.key(11))
+        losses[flag] = float(loss)
+    assert losses[True] != losses[False]
+    assert losses[True] == pytest.approx(losses[False], rel=1e-3)
