@@ -49,8 +49,8 @@ Array = jnp.ndarray
 
 LOG_2PI = 1.8378770664093453
 
-#: stats-row layout (lane indices within the (N, 128) stats output):
-#: [ll, n_obs, hmean (nh), hcov (nh*nh)] packed contiguously
+#: stats layout (ROW indices within the lane-major (rows, N) stats
+#: output): [ll, n_obs, hmean (nh), hcov (nh*nh)] packed contiguously
 STAT_LL, STAT_NOBS, STAT_H0 = 0, 1, 2
 
 __all__ = ["FusedPredictOutputs", "fused_predict", "default_tile_batch"]
@@ -89,7 +89,7 @@ def _predict_kernel(
     zabs_ref,  # (TB, P), or the (TB, 128k) zq column when derive_zabs
     *rest,  # [mask_ref], mu_ref (1,P), rows_ref (4,P), rhst_ref (RC,P),
     # outputs: [cont_ref (TB,P), std_ref (TB,P) unless stats_only],
-    #          stats_ref (TB,128)
+    #          stats_ref (RS, TB) lane-major stats rows
     nh: int,
     tb: int,
     derive_mask: bool,
@@ -256,17 +256,17 @@ def _predict_kernel(
         cont_ref[...] = cont
         std_ref[...] = jnp.sqrt(jnp.maximum(var, 0.0))
 
-    # pack per-spectrum stats [ll, n_obs, hmean, hcov] and transpose once
+    # pack per-spectrum stats [ll, n_obs, hmean, hcov] LANE-MAJOR (rows x
+    # spectra) — everything above already lives in that layout, so the
+    # write is one aligned block. The old (TB, 128) row-major stats output
+    # needed a per-tile (n_stat, TB) -> (TB, n_stat) Mosaic transpose that
+    # dominated the whole kernel (measured ~3-4x the kernel's DMA+compute
+    # model); the host-side wrapper now slices rows instead.
     n_stat = 2 + nh + nh * nh
-    pad_rows = (-n_stat) % 8
-    pack = jnp.concatenate(
+    pad_rows = stats_ref.shape[0] - n_stat
+    stats_ref[...] = jnp.concatenate(
         [ll, n_obs, alpha_t, kinv_t, jnp.zeros((pad_rows, tb), f32)], axis=0
     )  # (n_stat+pad, TB)
-    stats_t = pack.T  # (TB, n_stat+pad)
-    stats_ref[...] = jnp.concatenate(
-        [stats_t, jnp.zeros((tb, stats_ref.shape[1] - stats_t.shape[1]), f32)],
-        axis=1,
-    )
 
 
 @functools.partial(
@@ -306,7 +306,7 @@ def fused_predict(
     ``stats_only=True`` skips the two (N, Npix) continuum/uncertainty
     planes and returns only the per-spectrum stats (ll, posterior,
     n_obs) — the survey-scale OOD sweep: output traffic drops from
-    ~2 Npix floats to 128 per spectrum (``continuum``/``continuum_std``
+    ~2 Npix floats to ~80 per spectrum (``continuum``/``continuum_std``
     come back as None).
     """
     npix, nh = params.F.shape
@@ -405,15 +405,18 @@ def fused_predict(
         ],
         out_specs=[
             *([] if stats_only else [tile, tile]),  # continuum, std
-            pl.BlockSpec((tb, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),  # stats
+            pl.BlockSpec((_round_up(2 + nh + nh * nh, 8), tb),
+                         lambda i: (0, i),
+                         memory_space=pltpu.VMEM),  # stats (lane-major)
         ],
         out_shape=[
             *([] if stats_only else [
                 jax.ShapeDtypeStruct((n, p), f32),
                 jax.ShapeDtypeStruct((n, p), f32),
             ]),
-            jax.ShapeDtypeStruct((n, 128), f32),
+            jax.ShapeDtypeStruct(
+                (_round_up(2 + nh + nh * nh, 8), n), f32
+            ),
         ],
         compiler_params=None
         if interpret
@@ -429,13 +432,15 @@ def fused_predict(
         cont = std = None
     else:
         cont, std, stats = outs
+    # stats come back lane-major (rows x N): slicing rows is free; only
+    # the small hmean/hcov views transpose (XLA, outside the kernel)
     return FusedPredictOutputs(
-        ll=stats[:, STAT_LL],
-        hmean=stats[:, STAT_H0 : STAT_H0 + nh],
-        hcov=stats[:, STAT_H0 + nh : STAT_H0 + nh + nh * nh].reshape(
+        ll=stats[STAT_LL, :],
+        hmean=stats[STAT_H0 : STAT_H0 + nh, :].T,
+        hcov=stats[STAT_H0 + nh : STAT_H0 + nh + nh * nh, :].T.reshape(
             n, nh, nh
         ),
         continuum=None if stats_only else cont[:, :npix],
         continuum_std=None if stats_only else std[:, :npix],
-        n_obs=stats[:, STAT_NOBS],
+        n_obs=stats[STAT_NOBS, :],
     )

@@ -893,3 +893,33 @@ def test_mxu_bf16_flows_from_train_config(problem):
         losses[flag] = float(loss)
     assert losses[True] != losses[False]
     assert losses[True] == pytest.approx(losses[False], rel=1e-3)
+
+
+def test_mxu_bf16_chunked_matches_per_epoch(problem):
+    """mxu_bf16 composes with launch fusion: a 4-epoch chunk follows the
+    same trajectory as 4 chained single-epoch launches of the same mode."""
+    from qfa_tpu.train.pallas_engine import (
+        make_pallas_chunk_fn,
+        make_pallas_epoch_fn,
+    )
+
+    grid, nh, data = problem
+    p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+    cfg = TrainConfig(batch_size=32, learning_rate=1e-2, mxu_bf16=True)
+    base = jax.random.key(17)
+
+    st_a = TrainState(p0, adam.init(p0))
+    efn = make_pallas_epoch_fn(cfg, tile_batch=8, interpret=True)
+    losses_a = []
+    for e in range(4):
+        st_a, loss = efn(st_a, data, jax.random.fold_in(base, e))
+        losses_a.append(float(loss))
+
+    cfn = make_pallas_chunk_fn(cfg, n_epochs=4, tile_batch=8,
+                               interpret=True)
+    st_b, losses_b = cfn(TrainState(p0, adam.init(p0)), data, base)
+    np.testing.assert_array_equal(
+        np.asarray(losses_b, np.float32), np.asarray(losses_a, np.float32)
+    )
+    for a, b in zip(jax.tree.leaves(st_a.params), jax.tree.leaves(st_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
