@@ -2,6 +2,7 @@
 
 from .dp import dp_train_epoch, make_dp_epoch_fn, shard_dataset, shard_epoch_indices
 from .epoch_dp import epoch_dp_train_epoch, make_epoch_dp_fn
+from .infer_dp import fused_predict_dp, make_dp_predict_fn
 from .mesh import (
     data_sharding,
     initialize_distributed,
@@ -14,7 +15,9 @@ from .mesh import (
 __all__ = [
     "dp_train_epoch",
     "epoch_dp_train_epoch",
+    "fused_predict_dp",
     "make_dp_epoch_fn",
+    "make_dp_predict_fn",
     "make_epoch_dp_fn",
     "shard_dataset",
     "shard_epoch_indices",

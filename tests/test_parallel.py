@@ -492,3 +492,83 @@ def test_epoch_dp_chunked_matches_manual_local_sgd(problem):
         n // b_global
     )
     np.testing.assert_allclose(np.asarray(losses), expect, rtol=1e-6)
+
+
+# ---- multi-chip fused inference ------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def infer_problem():
+    grid = qfa_tpu.make_grid(1030.0, 1090.0, 1e-3)
+    params = random_init(jax.random.key(0), grid.npix, grid.nb, 4)
+    mu = jnp.linspace(0.9, 1.3, grid.npix).astype(jnp.float32)
+    syn = generate(jax.random.key(1), params, mu, grid, 64, mask_frac=0.15)
+    return grid, params, mu, syn
+
+
+def test_dp_fused_predict_matches_single_device(infer_problem):
+    """Full-mode DP inference over 8 devices == the single-device kernel
+    (float32 rounding; tiles never span shard boundaries)."""
+    from qfa_tpu.ops.infer_kernel import fused_predict
+    from qfa_tpu.parallel import fused_predict_dp
+
+    grid, params, mu, syn = infer_problem
+    flux, err = syn.flux * syn.mask, syn.error * syn.mask
+    mesh = make_mesh(NDEV)
+    ref = fused_predict(params, mu, flux, err, syn.zabs, syn.mask,
+                        tile_batch=8, interpret=True)
+    dp = fused_predict_dp(params, mu, flux, err, syn.zabs, syn.mask,
+                          mesh=mesh, tile_batch=8, interpret=True)
+    for f in ref._fields:
+        np.testing.assert_allclose(
+            np.asarray(getattr(ref, f)), np.asarray(getattr(dp, f)),
+            rtol=2e-6, atol=2e-6, err_msg=f,
+        )
+    # outputs come back sharded over the batch axis — no gather happened
+    assert {s.data.shape[0] for s in dp.ll.addressable_shards} == {
+        64 // NDEV
+    }
+
+
+def test_dp_fused_predict_stats_only_production_layout(infer_problem):
+    """The survey OOD layout (stats_only + derived mask + zq column) runs
+    sharded and matches, with the continuum planes elided."""
+    from qfa_tpu.ops import loglam_row, zq_column
+    from qfa_tpu.ops.infer_kernel import fused_predict
+    from qfa_tpu.parallel import fused_predict_dp, shard_leaves
+
+    grid, params, mu, syn = infer_problem
+    flux, err = syn.flux * syn.mask, syn.error * syn.mask
+    zq = zq_column(syn.zqso)
+    llrow = loglam_row(grid.wav)
+    mesh = make_mesh(NDEV)
+    ref = fused_predict(params, mu, flux, err, zq, None, tile_batch=8,
+                        interpret=True, stats_only=True, loglam=llrow,
+                        derive_zabs=True)
+    # pre-sharded device inputs, as a resident survey sweep would hold them
+    sflux, serr, szq = shard_leaves((flux, err, zq), mesh)
+    dp = fused_predict_dp(params, mu, sflux, serr, szq, None, mesh=mesh,
+                          tile_batch=8, interpret=True, stats_only=True,
+                          loglam=llrow, derive_zabs=True)
+    assert dp.continuum is None and dp.continuum_std is None
+    np.testing.assert_allclose(np.asarray(ref.ll), np.asarray(dp.ll),
+                               rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(ref.hmean), np.asarray(dp.hmean),
+                               rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(ref.hcov), np.asarray(dp.hcov),
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_array_equal(np.asarray(ref.n_obs), np.asarray(dp.n_obs))
+
+
+def test_dp_fused_predict_validates_divisibility(infer_problem):
+    from qfa_tpu.parallel import fused_predict_dp
+
+    grid, params, mu, syn = infer_problem
+    mesh = make_mesh(NDEV)
+    flux, err = syn.flux * syn.mask, syn.error * syn.mask
+    with pytest.raises(ValueError, match="not divisible over"):
+        fused_predict_dp(params, mu, flux[:60], err[:60], syn.zabs[:60],
+                         mesh=mesh, tile_batch=8, interpret=True)
+    with pytest.raises(ValueError, match="tile_batch"):
+        fused_predict_dp(params, mu, flux, err, syn.zabs,
+                         mesh=mesh, tile_batch=3, interpret=True)
