@@ -360,13 +360,21 @@ def run_predict(cfg: ConfigNode) -> None:
     use_fused = cfg.TRAIN.ENGINE in ("auto", "pallas") and is_tpu()
     t0 = time.time()
     if use_fused:
-        logger.info("predict engine: fused single-launch Pallas kernel")
+        # shard each chunk over the data mesh when >1 device is visible
+        # (one kernel launch per device per chunk, no collective)
+        mesh = _build_mesh(cfg, 0, logger) if jax.device_count() > 1 else None
+        logger.info(
+            "predict engine: fused single-launch Pallas kernel%s",
+            "" if mesh is None
+            else f" over {mesh.devices.size} devices",
+        )
         result = predict_dataset_fused(
             params,
             jnp.asarray(mu),
             dataset,
             grid,
             options=ModelOptions(tau_which=cfg.MODEL.TAU),
+            mesh=mesh,
         )
     else:
         result = predict_dataset(

@@ -100,6 +100,7 @@ def predict_dataset_fused(
     tile_batch: int | None = None,
     options: ModelOptions = ModelOptions(),
     interpret: bool = False,
+    mesh=None,
 ) -> PredictResult:
     """Predict a host dataset through the single-launch Pallas kernel.
 
@@ -116,12 +117,22 @@ def predict_dataset_fused(
     error-sanitized (masked pixels carry ``error == 0`` — the loader
     guarantees this). Returns host-side stacked results for all ``N``
     spectra.
+
+    ``mesh`` (a 1-D :class:`jax.sharding.Mesh`) shards every chunk over
+    the data axis and runs one kernel launch PER DEVICE per chunk
+    (:func:`qfa_tpu.parallel.fused_predict_dp` — no collective); chunks
+    pad to ``ndev * tile_batch``.
     """
     from ..ops.epoch_kernel import loglam_row, zq_column
     from ..ops.infer_kernel import default_tile_batch, fused_predict
 
     if tile_batch is None:
         tile_batch = default_tile_batch(grid.npix)
+    unit = tile_batch
+    if mesh is not None:
+        from ..parallel.infer_dp import fused_predict_dp
+
+        unit = tile_batch * mesh.devices.size
     n = dataset.size
     flux_all = np.ascontiguousarray(dataset.flux, np.float32)
     error_all = np.ascontiguousarray(dataset.error, np.float32)
@@ -133,7 +144,7 @@ def predict_dataset_fused(
     # single source of truth for the kernel's zq-column ABI
     zq_all = np.asarray(zq_column(jnp.asarray(dataset.zqso, jnp.float32)))
     loglam = loglam_row(grid.wav)
-    chunk = max(tile_batch, chunk - chunk % tile_batch)
+    chunk = max(unit, chunk - chunk % unit)
     outs = []
     from ..utils.progress import progress
 
@@ -141,7 +152,7 @@ def predict_dataset_fused(
         list(_batched(n, chunk)), desc="predict (fused)", min_items=64
     ):
         b = end - start
-        pad = -(b % -tile_batch)
+        pad = -(b % -unit)
 
         def prep(x):
             x = x[start:end]
@@ -149,19 +160,21 @@ def predict_dataset_fused(
                 x = np.concatenate([x, np.zeros((pad,) + x.shape[1:], x.dtype)])
             return jnp.asarray(x)
 
-        res = fused_predict(
-            params,
-            mu,
-            prep(flux_all),
-            prep(error_all),
-            prep(zq_all),
-            None if derive_m else prep(mask_all),
+        kw = dict(
             tau_which=options.tau_which,
             tile_batch=tile_batch,
             interpret=interpret,
             loglam=loglam,
             derive_zabs=True,
         )
+        args = (
+            params, mu, prep(flux_all), prep(error_all), prep(zq_all),
+            None if derive_m else prep(mask_all),
+        )
+        if mesh is None:
+            res = fused_predict(*args, **kw)
+        else:
+            res = fused_predict_dp(*args, mesh=mesh, **kw)
         outs.append(
             PredictResult(
                 ll=np.asarray(res.ll[:b]),

@@ -572,3 +572,31 @@ def test_dp_fused_predict_validates_divisibility(infer_problem):
     with pytest.raises(ValueError, match="tile_batch"):
         fused_predict_dp(params, mu, flux, err, syn.zabs,
                          mesh=mesh, tile_batch=3, interpret=True)
+
+
+def test_predict_dataset_fused_on_mesh_matches_single_device(infer_problem):
+    """predict_dataset_fused(mesh=...) shards each chunk over the mesh
+    (padded tail included) and equals the single-device fused driver."""
+    from qfa_tpu.data.loader import SpectraDataset
+    from qfa_tpu.infer import predict_dataset_fused
+
+    grid, params, mu, syn = infer_problem
+    m = np.asarray(syn.mask) > 0
+    # 40 spectra: with chunk=64 over 8 devices x tile 4 the single chunk
+    # pads 40 -> 64 (3 inert rows on the last device's shard)
+    ds = SpectraDataset(
+        flux=np.where(m, np.asarray(syn.flux), 0.0)[:40].astype(np.float32),
+        error=np.where(m, np.asarray(syn.error), 0.0)[:40].astype(np.float32),
+        mask=m[:40],
+        zqso=np.asarray(syn.zqso, np.float32)[:40],
+        paths=(),
+    )
+    a = predict_dataset_fused(params, mu, ds, grid, chunk=64, tile_batch=4,
+                              interpret=True)
+    b = predict_dataset_fused(params, mu, ds, grid, chunk=64, tile_batch=4,
+                              interpret=True, mesh=make_mesh(NDEV))
+    for f in ("ll", "hmean", "hcov", "continuum", "continuum_std"):
+        np.testing.assert_allclose(
+            np.asarray(getattr(b, f)), np.asarray(getattr(a, f)),
+            rtol=2e-5, atol=2e-6, err_msg=f,
+        )
