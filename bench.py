@@ -681,6 +681,39 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         failures["ood"] = f"{type(e).__name__}: {str(e)[:200]}"
 
+    # mesh-sharded OOD sweep on a 1-device mesh: inference issues NO
+    # collective, so the wrap cost is pure shard_map plumbing — measured
+    # as the interleaved pair delta vs the plain kernel in the same
+    # congestion window (same discipline as the whole-epoch DP stage)
+    stage("ood dp (1-device mesh)")
+    ood_dp_pair_ms = None
+    try:
+        from qfa_tpu.parallel import fused_predict_dp, make_mesh
+
+        mesh1i = make_mesh(1)
+        kw_dp = dict(kw_ood, mesh=mesh1i)
+        flux_s, err_s = sanitize(syn, 1.0 + 2e-7)
+        res = fused_predict_dp(infer_params, mu, flux_s, err_s, zq, None,
+                               **kw_dp)
+        _ = float(np.asarray(res.ll[0]))
+        pair = []
+        for trial in range(3):
+            flux_s, err_s = sanitize(syn, 1.0 + 1e-7 * (trial + 11))
+            _ = float(np.asarray(flux_s[0, 0]))
+            t0 = time.perf_counter()
+            res = fused_predict(infer_params, mu, flux_s, err_s, zq, None,
+                                **kw_ood)
+            _ = float(np.asarray(res.ll[-1]))
+            t_plain = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            res = fused_predict_dp(infer_params, mu, flux_s, err_s, zq,
+                                   None, **kw_dp)
+            _ = float(np.asarray(res.ll[-1]))
+            pair.append(time.perf_counter() - t0 - t_plain)
+        ood_dp_pair_ms = float(np.median(pair)) * 1e3
+    except Exception as e:  # noqa: BLE001
+        failures["ood_dp"] = f"{type(e).__name__}: {str(e)[:200]}"
+
     # ---- DESI scale (Npix=9243) on the Pallas trainer ---------------------
     stage("desi")
     desi_grid = qfa_tpu.make_grid(1113.5772, 1600.0, 1.7029661e-05)
@@ -945,6 +978,13 @@ def main() -> None:
                 None if infer_rate is None else infer_rate / INFER_BASELINE
             ),
             "ood_sweep_spectra_per_sec": _r(ood_rate),
+            "ood_dp_pair_overhead_ms": _r(ood_dp_pair_ms, 2),
+            "ood_dp_note": "stats-only OOD sweep through fused_predict_dp "
+                           "on a 1-device mesh vs the plain kernel, "
+                           "interleaved pair delta (inference shards with "
+                           "ZERO collectives, so multi-chip throughput "
+                           "projects as N x the single-chip rate minus "
+                           "this wrap cost)",
             "desi_npix": desi_grid.npix,
             "desi_train_spectra_per_sec": _r(desi_rate),
             "desi_gpixels_per_sec": _r(
