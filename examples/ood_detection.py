@@ -115,13 +115,19 @@ def main() -> None:
     labels = np.zeros(args.n, np.int32)
     labels[broken], labels[dla], labels[noisy] = 1, 2, 3
 
-    # ---- score: stats-only fused kernel (one launch) ----------------------
-    res = fused_predict(
-        state.params, mu, jnp.asarray(flux), jnp.asarray(error),
-        zq_column(syn.zqso), None, tile_batch=512, stats_only=True,
-        loglam=loglam_row(grid.wav), derive_zabs=True,
-        interpret=args.interpret,
-    )
+    # ---- score: stats-only fused kernel (one launch per device) -----------
+    # on a multi-chip mesh the sweep shards the spectrum axis with zero
+    # collectives (qfa_tpu.parallel.fused_predict_dp)
+    kw = dict(tile_batch=512, stats_only=True, loglam=loglam_row(grid.wav),
+              derive_zabs=True, interpret=args.interpret)
+    fargs = (state.params, mu, jnp.asarray(flux), jnp.asarray(error),
+             zq_column(syn.zqso), None)
+    if jax.device_count() > 1 and args.n % (jax.device_count() * 512) == 0:
+        from qfa_tpu.parallel import fused_predict_dp, make_mesh
+
+        res = fused_predict_dp(*fargs, mesh=make_mesh(), **kw)
+    else:
+        res = fused_predict(*fargs, **kw)
     scores = np.asarray(res.ll) / np.maximum(np.asarray(res.n_obs), 1.0)
 
     # ---- report separation ------------------------------------------------
