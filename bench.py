@@ -794,6 +794,39 @@ def main() -> None:
         minutes_500 = 500 * (524288 / big_rate) / 60.0
     except Exception as e:  # noqa: BLE001
         failures["survey"] = f"{type(e).__name__}: {str(e)[:200]}"
+
+    # survey-scale OOD sweep: score all 786k RESIDENT spectra with the
+    # stats-only fused prediction kernel (one launch). The resident
+    # training residuals stand in for a flux plane — the kernel has no
+    # data-dependent control flow, so the measured rate is exactly a real
+    # sweep's (identical compute and traffic shape). Trials vary a scalar
+    # hyper (c0 + k*1e-7) to defeat tunnel memoization without copying
+    # the 12 GB planes.
+    stage("survey ood sweep")
+    survey_ood_rate = None
+    try:
+        if big is not None:
+            from qfa_tpu.ops import fused_predict as _fp
+
+            kw_sood = dict(tile_batch=512, stats_only=True,
+                           loglam=loglam_row(grid.wav), derive_zabs=True)
+            sres = _fp(big_params, mu, big.delta, big.error, big.zabs,
+                       None, **kw_sood)
+            _ = float(np.asarray(sres.ll[0]))
+            stimes = []
+            for trial in range(3):
+                pv = big_params._replace(
+                    c0=big_params.c0 + 1e-7 * (trial + 1)
+                )
+                t0 = time.perf_counter()
+                sres = _fp(pv, mu, big.delta, big.error, big.zabs, None,
+                           **kw_sood)
+                _ = float(np.asarray(sres.ll[-1]))
+                stimes.append(time.perf_counter() - t0)
+            survey_ood_rate = n_survey / min(stimes)
+            del sres
+    except Exception as e:  # noqa: BLE001
+        failures["survey_ood"] = f"{type(e).__name__}: {str(e)[:200]}"
     del big
     gc.collect()
 
@@ -996,6 +1029,7 @@ def main() -> None:
             "desi_infer_spectra_per_sec": _r(desi_infer_rate),
             "survey_resident_spectra": n_survey,
             "survey_train_spectra_per_sec": _r(big_rate),
+            "survey_ood_spectra_per_sec": _r(survey_ood_rate),
             "survey_resident_gb": round(n_survey * (2 * p * 4 + 512) / 2**30,
                                         1),
             "bf16_survey_resident_spectra": n_big16,
