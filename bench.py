@@ -928,6 +928,19 @@ def main() -> None:
             )
         return block
 
+    def infer_hbm_block(rate):
+        """HBM roofline fraction for the stats-only inference sweeps: the
+        kernel streams the same production layout as training (delta +
+        error + zq column) and writes only ~80 floats/spectrum back, so
+        the read side is the candidate binder."""
+        if rate is None or peak_read_gbps is None:
+            return None
+        gbps = rate * bytes_per_spectrum / 1e9
+        return {
+            "hbm_gbps": round(gbps, 1),
+            "hbm_pct": round(100.0 * gbps / peak_read_gbps, 1),
+        }
+
     def _r(x, nd=1):
         return None if x is None else round(x, nd)
 
@@ -1011,6 +1024,7 @@ def main() -> None:
                 None if infer_rate is None else infer_rate / INFER_BASELINE
             ),
             "ood_sweep_spectra_per_sec": _r(ood_rate),
+            "ood_hbm": infer_hbm_block(ood_rate),
             "ood_dp_pair_overhead_ms": _r(ood_dp_pair_ms, 2),
             "ood_dp_note": "stats-only OOD sweep through fused_predict_dp "
                            "on a 1-device mesh vs the plain kernel, "
@@ -1030,6 +1044,7 @@ def main() -> None:
             "survey_resident_spectra": n_survey,
             "survey_train_spectra_per_sec": _r(big_rate),
             "survey_ood_spectra_per_sec": _r(survey_ood_rate),
+            "survey_ood_hbm": infer_hbm_block(survey_ood_rate),
             "survey_resident_gb": round(n_survey * (2 * p * 4 + 512) / 2**30,
                                         1),
             "bf16_survey_resident_spectra": n_big16,
