@@ -835,6 +835,7 @@ def main() -> None:
     # cost, so capacity mode is speed-neutral — unlike the 65k headline)
     stage("1.47M bf16 capacity")
     big16_rate = None
+    big16 = None
     n_big16 = 1_474_560  # 360 batches of 4096; ~11.2 GiB resident
     try:
         big16 = build_survey(grid, n_big16, nh, seed=13, dtype=jnp.bfloat16)
@@ -846,9 +847,39 @@ def main() -> None:
             loglam=loglam_row(grid.wav),
         )
         big16_rate = n_big16 / big16_dt
-        del big16
     except Exception as e:  # noqa: BLE001
         failures["bf16_survey"] = f"{type(e).__name__}: {str(e)[:200]}"
+
+    # bf16-STREAMED OOD sweep: score all 1.47M resident spectra in one
+    # launch — the planes stream at half the bytes (f32 compute
+    # in-kernel), so if the f32 sweep is HBM-bound this roughly doubles
+    # the rate. Trials vary c0 by 1e-7 to defeat tunnel memoization.
+    stage("bf16 ood sweep (1.47M)")
+    ood16_rate = None
+    try:
+        if big16 is not None:
+            from qfa_tpu.ops import fused_predict as _fp16
+
+            kw16 = dict(tile_batch=512, stats_only=True,
+                        loglam=loglam_row(grid.wav), derive_zabs=True)
+            sres = _fp16(big16_params, mu, big16.delta, big16.error,
+                         big16.zabs, None, **kw16)
+            _ = float(np.asarray(sres.ll[0]))
+            stimes = []
+            for trial in range(3):
+                pv = big16_params._replace(
+                    c0=big16_params.c0 + 1e-7 * (trial + 1)
+                )
+                t0 = time.perf_counter()
+                sres = _fp16(pv, mu, big16.delta, big16.error, big16.zabs,
+                             None, **kw16)
+                _ = float(np.asarray(sres.ll[-1]))
+                stimes.append(time.perf_counter() - t0)
+            ood16_rate = n_big16 / min(stimes)
+            del sres
+    except Exception as e:  # noqa: BLE001
+        failures["bf16_ood"] = f"{type(e).__name__}: {str(e)[:200]}"
+    del big16
     gc.collect()
 
     # ---- roofline / MFU accounting ----------------------------------------
@@ -1052,6 +1083,17 @@ def main() -> None:
             "bf16_survey_resident_gib": round(
                 n_big16 * (2 * p * 2 + 512) / 2**30, 1
             ),
+            "bf16_ood_spectra_per_sec": _r(ood16_rate),
+            "bf16_ood_hbm": None if ood16_rate is None
+            or peak_read_gbps is None else {
+                "hbm_gbps": round(
+                    ood16_rate * (2 * p * 2 + 512) / 1e9, 1
+                ),
+                "hbm_pct": round(
+                    100.0 * ood16_rate * (2 * p * 2 + 512) / 1e9
+                    / peak_read_gbps, 1
+                ),
+            },
             "projected_500k_500epoch_minutes": _r(minutes_500, 2),
             "north_star_under_10min": (
                 None if minutes_500 is None else minutes_500 < 10.0
