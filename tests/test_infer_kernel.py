@@ -285,3 +285,37 @@ def test_fused_predict_bf16_planes(problem):
     np.testing.assert_allclose(np.asarray(b.ll), np.asarray(a.ll), rtol=2e-2)
     np.testing.assert_allclose(np.asarray(b.continuum),
                                np.asarray(a.continuum), rtol=5e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("nh", [1, 10])
+def test_fused_predict_stats_layout_nh_edges(nh):
+    """Stats packing at the latent-dim edges: nh=1 (single 8-row stats
+    block) and nh=10 (112 stats rows — the largest the ll+n_obs+hmean+
+    hcov layout admits under the 128-lane cap)."""
+    grid = qfa_tpu.make_grid(1030.0, 1060.0, 1e-3)
+    params = random_init(jax.random.key(3), grid.npix, grid.nb, nh)
+    mu = jnp.linspace(0.9, 1.3, grid.npix).astype(jnp.float32)
+    syn = generate(jax.random.key(4), params, mu, grid, 16, mask_frac=0.1)
+    ref = predict(params, mu, syn.flux, syn.error * syn.mask, syn.zabs,
+                  syn.mask)
+    out = fused_predict(params, mu, syn.flux * syn.mask,
+                        syn.error * syn.mask, syn.zabs, syn.mask,
+                        tile_batch=8, interpret=True)
+    np.testing.assert_allclose(np.asarray(out.ll), np.asarray(ref.ll),
+                               rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(out.hmean), np.asarray(ref.hmean),
+                               rtol=2e-4, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out.hcov), np.asarray(ref.hcov),
+                               rtol=2e-4, atol=1e-7)
+    assert out.hcov.shape == (16, nh, nh)
+
+
+def test_fused_predict_rejects_oversized_nh():
+    """nh=11 needs 2+11+121 = 134 > 128 stats entries — refused loudly."""
+    grid = qfa_tpu.make_grid(1030.0, 1060.0, 1e-3)
+    params = random_init(jax.random.key(3), grid.npix, grid.nb, 11)
+    mu = jnp.ones((grid.npix,), jnp.float32)
+    z = jnp.zeros((8, grid.npix), jnp.float32)
+    with pytest.raises(ValueError, match="nh"):
+        fused_predict(params, mu, z, z, z, None, tile_batch=8,
+                      interpret=True)
