@@ -31,6 +31,7 @@ from qfa_tpu.utils import honor_cpu_request
 honor_cpu_request()  # the dev image pins the TPU plugin; honor cpu requests
 
 import jax.numpy as jnp
+import numpy as np
 
 import qfa_tpu
 from qfa_tpu.data.loader import ResidualDataset
@@ -116,6 +117,25 @@ def main() -> None:
             f"epoch {epoch:02d}  loss {float(loss):9.2f}  "
             f"{n / dt:12,.0f} spectra/s ({n_dev} devices)"
         )
+
+    # score the training corpus with the mesh-sharded stats-only sweep
+    # (zero collectives: outputs stay sharded along the batch axis)
+    from qfa_tpu.ops import loglam_row, zq_column
+    from qfa_tpu.parallel import fused_predict_dp
+
+    t0 = time.perf_counter()
+    res = fused_predict_dp(
+        state.params, mu, syn.flux * syn.mask, syn.error * syn.mask,
+        zq_column(syn.zqso), None, mesh=mesh, tile_batch=64,
+        stats_only=True, loglam=loglam_row(grid.wav), derive_zabs=True,
+        interpret=interpret,
+    )
+    ll = np.asarray(res.ll)
+    dt = time.perf_counter() - t0
+    print(
+        f"OOD sweep: {n} spectra in {dt:.3f} s "
+        f"({n / dt:,.0f} spectra/s), median NLL {np.median(ll):.1f}"
+    )
 
 
 if __name__ == "__main__":
