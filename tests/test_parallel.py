@@ -600,3 +600,24 @@ def test_predict_dataset_fused_on_mesh_matches_single_device(infer_problem):
             np.asarray(getattr(b, f)), np.asarray(getattr(a, f)),
             rtol=2e-5, atol=2e-6, err_msg=f,
         )
+
+
+def test_dp_fused_predict_compiles_with_zero_collectives(infer_problem):
+    """The compiled SPMD prediction program contains NO collective ops —
+    inference has no cross-spectrum coupling, so multi-chip throughput is
+    exactly N x the single-chip rate (modulo shard_map plumbing)."""
+    from qfa_tpu.ops import loglam_row, zq_column
+    from qfa_tpu.parallel.infer_dp import make_dp_predict_fn
+
+    grid, params, mu, syn = infer_problem
+    flux, err = syn.flux * syn.mask, syn.error * syn.mask
+    fn = make_dp_predict_fn(
+        make_mesh(NDEV), has_mask=False, tile_batch=8, stats_only=False,
+        derive_zabs=True, interpret=True,
+    )
+    txt = fn.lower(
+        params, mu, flux, err, zq_column(syn.zqso), loglam_row(grid.wav)
+    ).compile().as_text()
+    for word in ("all-reduce", "all-gather", "collective-permute",
+                 "all-to-all", "reduce-scatter"):
+        assert word not in txt, word
