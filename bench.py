@@ -658,7 +658,7 @@ def main() -> None:
     except Exception as e:  # noqa: BLE001
         failures["infer"] = f"{type(e).__name__}: {str(e)[:200]}"
 
-    # stats-only OOD sweep: NLL + posterior only, 128 B/spectrum output
+    # stats-only OOD sweep: NLL + posterior only, ~320 B/spectrum output
     stage("ood sweep")
     ood_rate = None
     try:

@@ -4,7 +4,7 @@ marginal NLL under the trained factor model flags anomalous spectra.
 
 This script trains a QFA model on synthetic in-distribution spectra,
 injects three kinds of anomalies, scores EVERY spectrum with the
-stats-only fused prediction kernel (one launch, 128 B/spectrum output),
+stats-only fused prediction kernel (one launch, ~320 B/spectrum output),
 and reports how cleanly the NLL separates the populations:
 
 * ``broken``  — continuum replaced by an unrelated smooth shape
