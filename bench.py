@@ -959,14 +959,14 @@ def main() -> None:
             )
         return block
 
-    def infer_hbm_block(rate):
+    def infer_hbm_block(rate, bps=None):
         """HBM roofline fraction for the stats-only inference sweeps: the
         kernel streams the same production layout as training (delta +
         error + zq column) and writes only ~80 floats/spectrum back, so
         the read side is the candidate binder."""
         if rate is None or peak_read_gbps is None:
             return None
-        gbps = rate * bytes_per_spectrum / 1e9
+        gbps = rate * (bytes_per_spectrum if bps is None else bps) / 1e9
         return {
             "hbm_gbps": round(gbps, 1),
             "hbm_pct": round(100.0 * gbps / peak_read_gbps, 1),
@@ -1084,16 +1084,7 @@ def main() -> None:
                 n_big16 * (2 * p * 2 + 512) / 2**30, 1
             ),
             "bf16_ood_spectra_per_sec": _r(ood16_rate),
-            "bf16_ood_hbm": None if ood16_rate is None
-            or peak_read_gbps is None else {
-                "hbm_gbps": round(
-                    ood16_rate * (2 * p * 2 + 512) / 1e9, 1
-                ),
-                "hbm_pct": round(
-                    100.0 * ood16_rate * (2 * p * 2 + 512) / 1e9
-                    / peak_read_gbps, 1
-                ),
-            },
+            "bf16_ood_hbm": infer_hbm_block(ood16_rate, bps=2 * p * 2 + 512),
             "projected_500k_500epoch_minutes": _r(minutes_500, 2),
             "north_star_under_10min": (
                 None if minutes_500 is None else minutes_500 < 10.0

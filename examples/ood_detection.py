@@ -118,11 +118,12 @@ def main() -> None:
     # ---- score: stats-only fused kernel (one launch per device) -----------
     # on a multi-chip mesh the sweep shards the spectrum axis with zero
     # collectives (qfa_tpu.parallel.fused_predict_dp)
-    kw = dict(tile_batch=512, stats_only=True, loglam=loglam_row(grid.wav),
+    tb = 512
+    kw = dict(tile_batch=tb, stats_only=True, loglam=loglam_row(grid.wav),
               derive_zabs=True, interpret=args.interpret)
     fargs = (state.params, mu, jnp.asarray(flux), jnp.asarray(error),
              zq_column(syn.zqso), None)
-    if jax.device_count() > 1 and args.n % (jax.device_count() * 512) == 0:
+    if jax.device_count() > 1 and args.n % (jax.device_count() * tb) == 0:
         from qfa_tpu.parallel import fused_predict_dp, make_mesh
 
         res = fused_predict_dp(*fargs, mesh=make_mesh(), **kw)

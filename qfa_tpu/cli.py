@@ -131,18 +131,19 @@ def _load_training_data(cfg: ConfigNode, grid):
     return dataset, mu, residuals, val_residuals
 
 
-def _build_mesh(cfg: ConfigNode, batch_size: int, logger):
+def _build_mesh(cfg: ConfigNode, batch_size: int | None, logger):
     """Data-parallel mesh from MESH.DATA_AXIS (-1 = all local devices).
 
     Returns None when a single device is selected or the batch size cannot
-    be split across the mesh (logged)."""
+    be split across the mesh (logged). ``batch_size=None`` skips the
+    divisibility check (prediction chunks pad themselves to the mesh)."""
     from .parallel import make_mesh
 
     want = cfg.MESH.DATA_AXIS
     ndev = jax.device_count() if want in (-1, 0) else min(want, jax.device_count())
     if ndev <= 1:
         return None
-    if batch_size % ndev:
+    if batch_size is not None and batch_size % ndev:
         logger.warning(
             "batch size %d not divisible by %d devices; training single-device",
             batch_size, ndev,
@@ -362,7 +363,9 @@ def run_predict(cfg: ConfigNode) -> None:
     if use_fused:
         # shard each chunk over the data mesh when >1 device is visible
         # (one kernel launch per device per chunk, no collective)
-        mesh = _build_mesh(cfg, 0, logger) if jax.device_count() > 1 else None
+        mesh = (
+            _build_mesh(cfg, None, logger) if jax.device_count() > 1 else None
+        )
         logger.info(
             "predict engine: fused single-launch Pallas kernel%s",
             "" if mesh is None

@@ -126,6 +126,12 @@ def fused_predict_dp(
     ``stats_only=True`` is the survey-scale OOD sweep: per-device output
     traffic drops to the ~80-float stats rows per spectrum.
     """
+    if len(mesh.axis_names) != 1:
+        raise ValueError(
+            f"fused_predict_dp shards over a 1-D data mesh; got axes "
+            f"{mesh.axis_names} — for 2-D data x pix meshes use the "
+            "training-side parallel.tp layout"
+        )
     ndev = mesh.devices.size
     n = flux.shape[0]
     if n % ndev:
@@ -134,10 +140,14 @@ def fused_predict_dp(
     tb = tile_batch
     if tb is None:
         tb = min(default_tile_batch(params.F.shape[0]), n_local)
+        if tb >= 8:
+            tb -= tb % 8  # sublane alignment — fail loudly below, not
+            # as an obscure Mosaic layout error on hardware
     if n_local % tb:
         raise ValueError(
             f"local shard of {n_local} spectra (N={n} over {ndev} devices) "
-            f"not divisible by tile_batch={tb}"
+            f"not divisible by tile_batch={tb}; pad N or pass an explicit "
+            "tile_batch"
         )
     fn = make_dp_predict_fn(
         mesh, has_mask=mask is not None, tau_which=tau_which,
