@@ -319,3 +319,23 @@ def test_fused_predict_rejects_oversized_nh():
     with pytest.raises(ValueError, match="nh"):
         fused_predict(params, mu, z, z, z, None, tile_batch=8,
                       interpret=True)
+
+
+def test_fused_predict_permutation_equivariant(problem):
+    """Each spectrum's outputs are independent of its tile neighbors:
+    permuting the batch permutes every output identically (lane-dot math
+    is per-lane, so this holds exactly in interpret mode)."""
+    grid, params, mu, syn = problem
+    flux = syn.flux * syn.mask
+    error = syn.error * syn.mask
+    perm = np.random.default_rng(5).permutation(flux.shape[0])
+    a = fused_predict(params, mu, flux, error, syn.zabs, syn.mask,
+                      tile_batch=8, interpret=True)
+    b = fused_predict(params, mu, flux[perm], error[perm], syn.zabs[perm],
+                      syn.mask[perm], tile_batch=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(b.ll),
+                                  np.asarray(a.ll)[perm])
+    np.testing.assert_array_equal(np.asarray(b.hmean),
+                                  np.asarray(a.hmean)[perm])
+    np.testing.assert_array_equal(np.asarray(b.continuum),
+                                  np.asarray(a.continuum)[perm])
