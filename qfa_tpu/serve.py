@@ -70,6 +70,7 @@ class QFAPredictor:
         lammin: float = REFERENCE_LAMMIN,
         lammax: float = REFERENCE_LAMMAX,
         loglam_delta: float = REFERENCE_LOGLAM_DELTA,
+        interpret: bool = False,
     ) -> None:
         if engine not in ("auto", "xla", "fused"):
             raise ValueError(f"unknown engine {engine!r}")
@@ -93,6 +94,9 @@ class QFAPredictor:
 
             engine = "fused" if is_tpu() else "xla"
         self.engine = engine
+        #: run the fused kernel in Pallas interpret mode (testing hook —
+        #: pins the TPU serving path's numerics on the CPU test platform)
+        self._interpret = interpret
         if engine == "fused":
             from .ops.infer_kernel import default_tile_batch
 
@@ -121,6 +125,7 @@ class QFAPredictor:
                 jnp.asarray(flux), jnp.asarray(error), jnp.asarray(zabs),
                 jnp.asarray(mask),
                 tau_which=self.options.tau_which, tile_batch=self._tile,
+                interpret=self._interpret,
             )
             return out.ll, out.hmean, out.hcov, out.continuum, out.continuum_std
         res = predict(

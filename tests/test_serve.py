@@ -157,3 +157,20 @@ def test_http_endpoint_round_trip(ckpt, request_data):
         assert ei.value.code == 400
     finally:
         srv.shutdown()
+
+
+def test_fused_interpret_engine_matches_xla(ckpt, request_data):
+    """The TPU serving path (fused kernel, interpret mode) == XLA engine."""
+    path = ckpt[0]
+    flux, error, zqso = request_data
+    xla = QFAPredictor(path, max_batch=8, engine="xla", **GRID)
+    fused = QFAPredictor(
+        path, max_batch=8, engine="fused", interpret=True, **GRID
+    )
+    a = xla.predict(flux[:5], error[:5], zqso[:5])
+    b = fused.predict(flux[:5], error[:5], zqso[:5])
+    np.testing.assert_allclose(b["ll"], a["ll"], rtol=2e-4)
+    np.testing.assert_allclose(
+        b["continuum"], a["continuum"], rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(b["hmean"], a["hmean"], rtol=1e-3, atol=1e-5)
