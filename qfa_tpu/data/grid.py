@@ -14,7 +14,21 @@ import numpy as np
 
 from ..physics.lyman import LYA_WAVELENGTH
 
-__all__ = ["WavelengthGrid", "make_grid", "LYA_WAVELENGTH"]
+__all__ = [
+    "WavelengthGrid",
+    "make_grid",
+    "LYA_WAVELENGTH",
+    "DEFAULT_LAMMIN",
+    "DEFAULT_LAMMAX",
+    "DEFAULT_DLOGLAM",
+]
+
+#: canonical reference SDSS grid bounds/step
+#: (``/root/reference/QFA/config.py:36-39``) — the single source of truth
+#: for every default grid in the package (config schema, serving CLI).
+DEFAULT_LAMMIN = 1030.0
+DEFAULT_LAMMAX = 1600.0
+DEFAULT_DLOGLAM = 1e-4
 
 
 class WavelengthGrid(NamedTuple):
@@ -48,9 +62,9 @@ class WavelengthGrid(NamedTuple):
 
 
 def make_grid(
-    lam_min: float = 1030.0,
-    lam_max: float = 1600.0,
-    dloglam: float = 1e-4,
+    lam_min: float = DEFAULT_LAMMIN,
+    lam_max: float = DEFAULT_LAMMAX,
+    dloglam: float = DEFAULT_DLOGLAM,
 ) -> WavelengthGrid:
     """Build the log-uniform wavelength grid ``10^arange(log lam_min, log
     lam_max, dloglam)``. Defaults reproduce the SDSS grid (Npix=1913, Nb=720).

@@ -42,7 +42,7 @@ def make_epoch_dp_fn(
     config: TrainConfig,
     mesh: Mesh,
     *,
-    tile_batch: int = 256,
+    tile_batch: int | None = None,
     loglam=None,
     n_real: int | None = None,
     epochs_per_launch: int = 1,
@@ -53,7 +53,13 @@ def make_epoch_dp_fn(
     ``data`` must be sharded over the spectrum axis
     (:func:`parallel.dp.shard_dataset`) with every per-device shard a
     multiple of ``tile_batch`` and of the LOCAL batch
-    ``config.batch_size // ndev``; the state stays replicated. A ``None``
+    ``config.batch_size // ndev``; the state stays replicated.
+    ``tile_batch=None`` (the default) picks the npix-aware VMEM-safe tile
+    that divides the local batch (``train.pallas_engine.pick_tile_batch``
+    — 128 at DESI width, where a fixed 256 fails to compile); an explicit
+    tile is clamped to the local batch and must stay sublane-aligned
+    (a multiple of 8) off interpret mode — Mosaic rejects misaligned
+    blocks with an obscure layout error otherwise. A ``None``
     mask leaf selects the in-kernel derived-mask layout (masked pixels
     must carry ``error == 0``), exactly as in ``fused_train_epoch``. Each
     device draws its own tile permutation (device-folded key), runs the
@@ -85,18 +91,35 @@ def make_epoch_dp_fn(
             f"{ndev}-device mesh"
         )
     b_local = config.batch_size // ndev
-    tb = min(tile_batch, b_local)
-    if b_local % tb:
-        raise ValueError(
-            f"tile_batch {tb} does not divide the local batch {b_local} "
-            f"(global batch {config.batch_size} over {ndev} devices)"
-        )
     epl = int(epochs_per_launch)
     if epl < 1:
         raise ValueError(f"epochs_per_launch must be >= 1, got {epl}")
 
+    def resolve_tile(npix: int) -> int:
+        if tile_batch is None:
+            from ..train.pallas_engine import pick_tile_batch
+
+            tb = pick_tile_batch(b_local, npix)
+        else:
+            tb = min(tile_batch, b_local)
+        if b_local % tb:
+            raise ValueError(
+                f"tile_batch {tb} does not divide the local batch "
+                f"{b_local} (global batch {config.batch_size} over "
+                f"{ndev} devices)"
+            )
+        if not interpret and tb % 8:
+            raise ValueError(
+                f"resolved tile of {tb} rows is not sublane-aligned; the "
+                f"Pallas epoch kernel needs 8-row multiples on hardware — "
+                f"pick a global batch whose per-device share "
+                f"({b_local} here) is divisible by an 8-multiple tile"
+            )
+        return tb
+
     def local_epoch(state: TrainState, data: ResidualDataset, key):
         n_local = data.delta.shape[0]
+        tb = resolve_tile(data.delta.shape[1])
         if n_local % tb or (n_local // tb) % (n_local // b_local):
             raise ValueError(
                 f"local shard of {n_local} rows not divisible into "

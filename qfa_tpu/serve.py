@@ -29,11 +29,11 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 import jax.numpy as jnp
 import numpy as np
 
-from .data.grid import make_grid
-
-#: reference SDSS grid defaults (/root/reference/QFA/config.py:36-39)
-REFERENCE_LAMMIN, REFERENCE_LAMMAX, REFERENCE_LOGLAM_DELTA = (
-    1030.0, 1600.0, 1e-4,
+from .data.grid import (
+    DEFAULT_DLOGLAM as REFERENCE_LOGLAM_DELTA,
+    DEFAULT_LAMMAX as REFERENCE_LAMMAX,
+    DEFAULT_LAMMIN as REFERENCE_LAMMIN,
+    make_grid,
 )
 from .data.loader import MISSING
 from .models import load_npz
@@ -168,6 +168,17 @@ class QFAPredictor:
         error = np.where(m, error, 0.0).astype(np.float32)
         zabs = self.grid.zabs(zqso).astype(np.float32)
         mf = m.astype(np.float32)
+        if n == 0:  # an empty request is a valid (empty) result
+            nh = int(self.params.F.shape[1])
+            f32 = np.float32
+            return {
+                "ll": np.zeros((0,), f32),
+                "hmean": np.zeros((0, nh), f32),
+                "hcov": np.zeros((0, nh, nh), f32),
+                "continuum": np.zeros((0, npix), f32),
+                "continuum_std": np.zeros((0, npix), f32),
+                "n_obs": np.zeros((0,), np.int64),
+            }
 
         mb = self.max_batch
         parts = []
@@ -229,9 +240,20 @@ def make_http_server(
     Call ``serve_forever()`` on the result (or use :func:`main`).
     """
 
+    def jsonable(v: np.ndarray) -> list:
+        # strict-JSON safety: non-finite outputs (a NaN flux in the
+        # request, float32 overflow in the likelihood) become null, never
+        # the bare NaN/Infinity tokens json.dumps emits by default —
+        # those break standards-compliant clients (JSON.parse, jq, Go)
+        if v.dtype.kind == "f" and not np.isfinite(v).all():
+            obj = v.astype(object)
+            obj[~np.isfinite(v)] = None
+            return obj.tolist()
+        return v.tolist()
+
     class Handler(BaseHTTPRequestHandler):
         def _send(self, code: int, payload: dict) -> None:
-            body = json.dumps(payload).encode()
+            body = json.dumps(payload, allow_nan=False).encode()
             self.send_response(code)
             self.send_header("Content-Type", "application/json")
             self.send_header("Content-Length", str(len(body)))
@@ -261,7 +283,7 @@ def make_http_server(
             except (KeyError, ValueError, TypeError) as e:
                 self._send(400, {"error": str(e)})
                 return
-            self._send(200, {k: v.tolist() for k, v in out.items()})
+            self._send(200, {k: jsonable(v) for k, v in out.items()})
 
         def log_message(self, fmt, *args):  # quiet by default
             pass

@@ -237,6 +237,45 @@ def test_epoch_dp_single_device_matches_fused_epoch(problem):
                                atol=1e-8)
 
 
+def test_epoch_dp_default_tile_is_npix_aware(problem):
+    """tile_batch=None resolves via pick_tile_batch (divides the local
+    batch, never a hardcoded 256) and matches an explicit-tile run."""
+    from qfa_tpu.parallel import make_epoch_dp_fn, shard_dataset
+
+    grid, data = problem
+    mesh = make_mesh(NDEV)
+    cfg = TrainConfig(batch_size=64, learning_rate=1e-2, weight_decay=0.0)
+    sharded = shard_dataset(data, mesh)
+    st = fresh_state(grid)
+    key = jax.random.key(11)
+    # local batch is 8, so the auto tile must resolve to 8 — identical
+    # trajectory to tile_batch=8
+    st_a, loss_a = make_epoch_dp_fn(cfg, mesh, interpret=True)(
+        st, sharded, key
+    )
+    st_b, loss_b = make_epoch_dp_fn(cfg, mesh, tile_batch=8, interpret=True)(
+        fresh_state(grid), sharded, key
+    )
+    assert float(loss_a) == pytest.approx(float(loss_b), rel=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(st_a.params.F), np.asarray(st_b.params.F), rtol=1e-6
+    )
+
+
+def test_epoch_dp_rejects_misaligned_tile_on_hardware(problem):
+    """Off interpret mode, a sublane-misaligned resolved tile fails with
+    a clear ValueError instead of an obscure Mosaic layout error."""
+    from qfa_tpu.parallel import make_epoch_dp_fn, shard_dataset
+
+    grid, data = problem
+    mesh = make_mesh(2)
+    # local batch 12 -> explicit tile clamps to 12, not a multiple of 8
+    cfg = TrainConfig(batch_size=24, learning_rate=1e-2, weight_decay=0.0)
+    fn = make_epoch_dp_fn(cfg, mesh, tile_batch=256, interpret=False)
+    with pytest.raises(ValueError, match="sublane-aligned"):
+        fn(fresh_state(grid), shard_dataset(data, mesh), jax.random.key(0))
+
+
 def test_epoch_dp_multi_device_trains(problem):
     """8-device local-SGD epochs: one kernel launch per device, one
     pmean per epoch; the loss decreases and the state stays replicated

@@ -114,6 +114,53 @@ def test_predictor_rejects_wrong_grid(ckpt):
         QFAPredictor(path, engine="xla")  # default SDSS grid != tiny ckpt
 
 
+def test_predictor_empty_batch(ckpt):
+    """Zero spectra is a valid request: empty, correctly-shaped outputs."""
+    path, grid, *_ = ckpt
+    pred = QFAPredictor(path, max_batch=4, engine="xla", **GRID)
+    out = pred.predict(
+        np.zeros((0, grid.npix), np.float32),
+        np.zeros((0, grid.npix), np.float32),
+        np.zeros((0,), np.float32),
+    )
+    assert out["ll"].shape == (0,)
+    assert out["hmean"].shape == (0, NH)
+    assert out["hcov"].shape == (0, NH, NH)
+    assert out["continuum"].shape == (0, grid.npix)
+    assert out["n_obs"].shape == (0,)
+
+
+def test_http_nonfinite_outputs_serialize_as_null(ckpt, request_data):
+    """A NaN in the request must never produce invalid JSON (bare NaN
+    tokens) — non-finite outputs come back as null."""
+    path = ckpt[0]
+    flux, error, zqso = request_data
+    f = flux[:2].copy()
+    f[0, 0] = np.nan  # poisons spectrum 0's likelihood
+    pred = QFAPredictor(path, max_batch=4, engine="xla", **GRID)
+    srv = make_http_server(pred, "127.0.0.1", 0)
+    port = srv.server_address[1]
+    threading.Thread(target=srv.serve_forever, daemon=True).start()
+    try:
+        body = json.dumps({
+            "flux": f.tolist(), "error": error[:2].tolist(),
+            "zqso": zqso[:2].tolist(),
+        }).encode()
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/predict", data=body,
+            headers={"Content-Type": "application/json"},
+        )
+        with urllib.request.urlopen(req, timeout=60) as r:
+            raw = r.read()
+        out = json.loads(raw, parse_constant=lambda s: pytest.fail(
+            f"response carries a non-strict JSON token {s!r}"
+        ))
+        assert out["ll"][0] is None  # poisoned spectrum
+        assert out["ll"][1] is not None  # healthy one untouched
+    finally:
+        srv.shutdown()
+
+
 def test_http_endpoint_round_trip(ckpt, request_data):
     path = ckpt[0]
     flux, error, zqso = request_data
