@@ -122,41 +122,10 @@ def _tri_idx(a: int, b: int) -> int:
     return a * (a + 1) // 2 + b
 
 
-def _chol_t(k_t, nh):
-    col = [[None] * nh for _ in range(nh)]
-    for j in range(nh):
-        s = k_t[j * nh + j]
-        for p in range(j):
-            s = s - col[j][p] * col[j][p]
-        d = jnp.sqrt(s)
-        inv_d = 1.0 / d
-        col[j][j] = d
-        for i in range(j + 1, nh):
-            s = k_t[i * nh + j]
-            for p in range(j):
-                s = s - col[i][p] * col[j][p]
-            col[i][j] = s * inv_d
-    return col
-
-
-def _solve_lower_t(chol, b, nh):
-    y = []
-    for i in range(nh):
-        s = b[i]
-        for j in range(i):
-            s = s - chol[i][j] * y[j]
-        y.append(s / chol[i][i])
-    return y
-
-
-def _solve_upper_t(chol, y, nh):
-    x = [None] * nh
-    for i in reversed(range(nh)):
-        s = y[i]
-        for j in range(i + 1, nh):
-            s = s - chol[j][i] * x[j]
-        x[i] = s / chol[i][i]
-    return x
+# The unrolled in-kernel Cholesky/triangular-solve helpers are shared
+# with the per-step kernel — ONE implementation so a numeric change can
+# never leave the two engines factorizing differently.
+from .fused_step import _chol_t, _solve_lower_t, _solve_upper_t  # noqa: E402
 
 
 def _kinv_column(chol, b, nh):

@@ -136,7 +136,8 @@ def make_dp_epoch_fn(
     mesh and compile-verified on hardware; multi-chip throughput is
     unvalidated in this environment (single tunneled chip), so the XLA
     engine remains the default. ``tile_batch`` must divide the per-device
-    batch.
+    batch; ``None`` picks the largest VMEM-safe power-of-two divisor
+    (npix-aware, resolved at trace time from the data width).
     """
     if engine not in ("xla", "pallas"):
         raise ValueError(f"unknown dp engine {engine!r}")
@@ -144,7 +145,19 @@ def make_dp_epoch_fn(
     axis = mesh.axis_names[0]
     ndev = mesh.devices.size
     local_bs = config.batch_size // max(ndev, 1)
-    tb = tile_batch or min(local_bs, 256)
+    if tile_batch is not None and local_bs % min(tile_batch, local_bs):
+        raise ValueError(
+            f"tile_batch {tile_batch} does not divide the per-device "
+            f"batch {local_bs} (global batch {config.batch_size} over "
+            f"{ndev} devices)"
+        )
+
+    def resolve_tile(npix: int) -> int:
+        if tile_batch is not None:
+            return min(tile_batch, local_bs)
+        from ..train.pallas_engine import pick_tile_batch
+
+        return pick_tile_batch(local_bs, npix)
 
     def local_epoch(
         state: TrainState, data: ResidualDataset, ei: EpochIndices
@@ -153,6 +166,7 @@ def make_dp_epoch_fn(
         # (1, n_batches, local_bs) — drop the unit mesh dim.
         idx = ei.idx[0]
         wts = ei.weight[0]
+        tb = resolve_tile(data.delta.shape[1])
 
         def batch_step(carry: TrainState, xs):
             from ..data.loader import as_f32

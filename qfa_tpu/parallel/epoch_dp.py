@@ -120,10 +120,16 @@ def make_epoch_dp_fn(
     def local_epoch(state: TrainState, data: ResidualDataset, key):
         n_local = data.delta.shape[0]
         tb = resolve_tile(data.delta.shape[1])
-        if n_local % tb or (n_local // tb) % (n_local // b_local):
+        # b_local % tb is already guaranteed by resolve_tile, so
+        # n_local % b_local == 0 implies n_local % tb == 0 too — but check
+        # both explicitly so an invalid shard fails with the right message
+        # (never a ZeroDivisionError, and never a silent wrong-size batch).
+        if n_local % b_local or n_local % tb:
             raise ValueError(
-                f"local shard of {n_local} rows not divisible into "
-                f"{n_local // b_local} batches of {b_local} ({tb}-row tiles)"
+                f"local shard of {n_local} rows is not a whole number of "
+                f"{b_local}-row batches ({tb}-row tiles; global batch "
+                f"{config.batch_size} over {ndev} devices) — pad the "
+                f"dataset to a multiple of {b_local * ndev} rows"
             )
         dev = jax.lax.axis_index(axis)
         if epl == 1:
@@ -226,8 +232,15 @@ def epoch_dp_train_epoch(
     epoch_fn=None,
     **kwargs,
 ) -> tuple[TrainState, float]:
-    """Run one multi-chip whole-epoch-kernel epoch; returns (state, loss)."""
+    """Run one multi-chip whole-epoch-kernel launch; returns (state, loss).
+
+    With ``epochs_per_launch > 1`` the launch covers several epochs and
+    the kernel reports one mean loss per epoch — this helper then returns
+    the LAST epoch's loss (the state after the launch corresponds to it);
+    use the raw ``make_epoch_dp_fn`` output for the full per-epoch vector.
+    """
     if epoch_fn is None:
         epoch_fn = make_epoch_dp_fn(config, mesh, **kwargs)
     state, loss = epoch_fn(state, data, key)
-    return state, float(loss)
+    loss = np.asarray(loss)
+    return state, float(loss if loss.ndim == 0 else loss[-1])

@@ -140,9 +140,18 @@ def fused_predict_dp(
     tb = tile_batch
     if tb is None:
         tb = min(default_tile_batch(params.F.shape[0]), n_local)
-        if tb >= 8:
-            tb -= tb % 8  # sublane alignment — fail loudly below, not
-            # as an obscure Mosaic layout error on hardware
+        tb -= tb % 8  # sublane alignment — fail loudly here, not as an
+        # obscure Mosaic layout error on hardware
+        if tb == 0:
+            if interpret:
+                tb = n_local  # interpret mode has no sublane constraint
+            else:
+                raise ValueError(
+                    f"local shard of {n_local} spectra (N={n} over {ndev} "
+                    f"devices) is smaller than the 8-row sublane tile the "
+                    f"hardware kernel needs — pad N to a multiple of "
+                    f"{8 * ndev} or use fewer devices"
+                )
     if n_local % tb:
         raise ValueError(
             f"local shard of {n_local} spectra (N={n} over {ndev} devices) "

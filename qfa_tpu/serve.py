@@ -148,9 +148,17 @@ class QFAPredictor:
         or error (``/root/reference/QFA/dataloader.py:24-28``) on top of
         an optional explicit ``mask``.
         """
-        flux = np.atleast_2d(np.asarray(flux, np.float32))
-        error = np.atleast_2d(np.asarray(error, np.float32))
+        flux = np.asarray(flux, np.float32)
+        error = np.asarray(error, np.float32)
         zqso = np.atleast_1d(np.asarray(zqso, np.float32))
+        if flux.size == 0 and zqso.size == 0:
+            # normalize an empty request (JSON `[]` arrives as shape (0,),
+            # which np.atleast_2d would turn into (1, 0) and trip the npix
+            # check) so it reaches the empty-result path below
+            flux = flux.reshape(0, self.grid.npix)
+            error = error.reshape(0, self.grid.npix)
+        flux = np.atleast_2d(flux)
+        error = np.atleast_2d(error)
         n, npix = flux.shape
         if npix != self.grid.npix:
             raise ValueError(

@@ -47,6 +47,7 @@ __all__ = [
     "train_epoch",
     "fit",
     "fit_streaming",
+    "make_ckpt_saver",
     "make_epoch_fn",
     "make_pallas_step_fn",
     "make_sliced_epoch_fn",
@@ -196,6 +197,30 @@ def make_pallas_step_fn(
     return step_fn
 
 
+def make_ckpt_saver(output_dir: str, mu, save_full_state: bool) -> Callable:
+    """Epoch-checkpoint writer shared by every trainer (fit, fit_streaming,
+    fit_pallas): the reference npz cadence/naming
+    (``/root/reference/QFA/model.py:230-231``) plus an optional full-state
+    snapshot (params + Adam moments + epoch) for exact resume."""
+
+    def _save(state, ckpt):
+        save_npz(
+            f"{output_dir}/checkpoints/model_parameters_epoch_{ckpt:02d}.npz",
+            state.params,
+            mu,
+        )
+        if save_full_state:
+            from .checkpoint import save_state
+
+            save_state(
+                f"{output_dir}/checkpoints/state_epoch_{ckpt:02d}.npz",
+                state,
+                mu,
+            )
+
+    return _save
+
+
 def make_val_fn(val_data: ResidualDataset | None, options) -> Callable | None:
     """Held-out validation evaluator ``params -> mean NLL`` (or None).
 
@@ -270,20 +295,7 @@ def fit_streaming(
 
     val_fn = make_val_fn(val_data, config.options)
 
-    def _save(state, ckpt):
-        save_npz(
-            f"{output_dir}/checkpoints/model_parameters_epoch_{ckpt:02d}.npz",
-            state.params,
-            mu,
-        )
-        if save_full_state:
-            from .checkpoint import save_state
-
-            save_state(
-                f"{output_dir}/checkpoints/state_epoch_{ckpt:02d}.npz",
-                state,
-                mu,
-            )
+    _save = make_ckpt_saver(output_dir, mu, save_full_state)
 
     for epoch in range(start_epoch, config.n_epochs):
         rng = np.random.default_rng(seed + epoch)
@@ -574,20 +586,7 @@ def fit(
 
     val_fn = make_val_fn(val_data, config.options)
 
-    def _save(state, ckpt):
-        save_npz(
-            f"{output_dir}/checkpoints/model_parameters_epoch_{ckpt:02d}.npz",
-            state.params,
-            mu,
-        )
-        if save_full_state:
-            from .checkpoint import save_state
-
-            save_state(
-                f"{output_dir}/checkpoints/state_epoch_{ckpt:02d}.npz",
-                state,
-                mu,
-            )
+    _save = make_ckpt_saver(output_dir, mu, save_full_state)
 
     for epoch in range(start_epoch, config.n_epochs):
         sub = jax.random.fold_in(key, epoch)

@@ -408,24 +408,11 @@ def fit_pallas(
         data = shard_dataset(data, mesh)
     history: list = []
 
-    from .loop import make_val_fn
+    from .loop import make_ckpt_saver, make_val_fn
 
     val_fn = make_val_fn(val_data, config.options)
 
-    def _save(state, ckpt):
-        save_npz(
-            f"{output_dir}/checkpoints/model_parameters_epoch_{ckpt:02d}.npz",
-            state.params,
-            mu,
-        )
-        if save_full_state:
-            from .checkpoint import save_state
-
-            save_state(
-                f"{output_dir}/checkpoints/state_epoch_{ckpt:02d}.npz",
-                state,
-                mu,
-            )
+    _save = make_ckpt_saver(output_dir, mu, save_full_state)
 
     # Reshuffles may donate only when EVERY surviving leaf is a buffer this
     # function created (pixel/row padding replaced it) — donating a leaf

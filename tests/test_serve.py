@@ -221,3 +221,15 @@ def test_fused_interpret_engine_matches_xla(ckpt, request_data):
         b["continuum"], a["continuum"], rtol=1e-3, atol=1e-4
     )
     np.testing.assert_allclose(b["hmean"], a["hmean"], rtol=1e-3, atol=1e-5)
+
+
+def test_predictor_empty_list_request(ckpt):
+    """A JSON `[]` request (shape (0,) after asarray) reaches the empty
+    result path instead of tripping the npix check (r3 review finding)."""
+    path, grid, *_ = ckpt
+    pred = QFAPredictor(path, max_batch=4, engine="xla", **GRID)
+    out = pred.predict([], [], [])
+    assert out["ll"].shape == (0,)
+    assert out["hmean"].shape == (0, NH)
+    assert out["continuum"].shape == (0, grid.npix)
+    assert out["n_obs"].shape == (0,)
