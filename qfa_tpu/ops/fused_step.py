@@ -161,7 +161,7 @@ def _step_kernel(
     psi_ref,  # (1, P)
     omega_row_ref,  # (1, P) omega at blue pixels, 0 elsewhere
     blue_ref,  # (1, P) 1.0 on blue pixels
-    rhs_ref,  # (P, RC) = [G | F | ones | 0-pad]
+    rhs_ref,  # (P, RC) = [G | F | ones | blue | 0-pad]
     rhs_t_ref,  # (RC, P) transpose of rhs
     # outputs (accumulated across sequential grid steps)
     small_ref,  # (1, 128): col 0 = nll sum, col 1 = scalar_count
@@ -213,7 +213,6 @@ def _step_kernel(
     u_row = amp * dinv * delta_m  # contraction -> w
     q_row = delta_m * delta_m * dinv  # contraction -> quad
     logd_row = m * jnp.log(d_safe)  # contraction -> logdet_d
-    mblue = m * blue  # contraction -> per-spectrum blue-pixel count
 
     # --- forward contractions (MXU, full f32 precision) ------------------
     # Separate (TB, P) @ (P, RC) dots against the shared RHS instead of one
@@ -228,14 +227,19 @@ def _step_kernel(
         )
 
     ones_col = nh * nh + nh
+    blue_col = ones_col + 1
     out_k = dot_rhs(w_row)
     out_w = dot_rhs(u_row)
     k_part = out_k[:, : nh * nh]  # (TB, nh*nh)
     w_part = out_w[:, nh * nh : nh * nh + nh]  # (TB, nh)
-    quad = dot_rhs(q_row)[:, ones_col]  # (TB,)
-    logdet_d = dot_rhs(logd_row)[:, ones_col]
-    n_obs = dot_rhs(m)[:, ones_col]
-    n_blue = dot_rhs(mblue)[:, ones_col]
+    # quad and logdet_d only ever appear SUMMED in the NLL, so they fold
+    # into one reduction plane, and the mask dot reads both pixel counts
+    # from the [ones | blue] RHS columns — 2 MXU passes where the naive
+    # form spends 4 (reading one column still costs the full GEMM).
+    quad_logd = dot_rhs(q_row + logd_row)[:, ones_col]  # (TB,)
+    out_m = dot_rhs(m)
+    n_obs = out_m[:, ones_col]
+    n_blue = out_m[:, blue_col]
 
     # --- per-spectrum factorization (lists of (TB,) lanes) ---------------
     k_cols = [k_part[:, i] for i in range(nh * nh)]
@@ -246,9 +250,11 @@ def _step_kernel(
 
     y = _solve_lower_t(chol, w_cols, nh)
     alpha = _solve_upper_t(chol, y, nh)
-    mahal = quad - sum(yi * yi for yi in y)
+    # mahal + logdet_d = (quad + logdet_d) - |y|^2 — the folded plane
     logdet_k = 2.0 * sum(jnp.log(chol[i][i]) for i in range(nh))
-    nll_b = 0.5 * (mahal + n_obs * LOG_2PI + logdet_d + logdet_k)
+    nll_b = 0.5 * (
+        quad_logd - sum(yi * yi for yi in y) + n_obs * LOG_2PI + logdet_k
+    )
     nll_tile = jnp.sum(nll_b.reshape(tb, 1), axis=0, keepdims=True)  # (1,1)
     small_ref[0:1, 0:1] += nll_tile
 
@@ -262,7 +268,7 @@ def _step_kernel(
     # M = K^-1 column by column; S = 1/2 (M + alpha alpha^T)
     s_cols = [None] * (nh * nh)
     for j in range(nh):
-        e = [jnp.full_like(quad, 1.0 if i == j else 0.0) for i in range(nh)]
+        e = [jnp.full_like(n_obs, 1.0 if i == j else 0.0) for i in range(nh)]
         mj = _solve_upper_t(chol, _solve_lower_t(chol, e, nh), nh)
         for i in range(nh):
             s_cols[i * nh + j] = 0.5 * (mj[i] + alpha[i] * alpha[j])
@@ -318,7 +324,7 @@ def _step_kernel(
 
 def _build_static(npix: int, nb: int, nh: int, tb: int):
     p = _round_up(npix, 128)
-    rc = _round_up(nh * nh + nh + 1, 128)
+    rc = _round_up(nh * nh + nh + 2, 128)  # [G | F | ones | blue | pad]
     return p, rc
 
 
@@ -370,7 +376,13 @@ def fused_loss_grads(
 
     gram = (params.F[:, :, None] * params.F[:, None, :]).reshape(npix, nh * nh)
     rhs = jnp.concatenate(
-        [gram.astype(f32), params.F.astype(f32), jnp.ones((npix, 1), f32)], axis=1
+        [
+            gram.astype(f32),
+            params.F.astype(f32),
+            jnp.ones((npix, 1), f32),
+            blue_row[0, :npix, None],  # blue count column
+        ],
+        axis=1,
     )
     rhs = jnp.pad(rhs, ((0, p - npix), (0, rc - rhs.shape[1])))
     rhs_t = rhs.T
