@@ -967,10 +967,19 @@ def main() -> None:
         if rate is None or peak_read_gbps is None:
             return None
         gbps = rate * (bytes_per_spectrum if bps is None else bps) / 1e9
-        return {
+        block = {
             "hbm_gbps": round(gbps, 1),
             "hbm_pct": round(100.0 * gbps / peak_read_gbps, 1),
         }
+        if block["hbm_pct"] > 100.0:
+            block["note"] = (
+                "fraction >100% means the sweep ran in a quieter window "
+                "than the end-of-run bandwidth calibration (the shared "
+                "tunnel time-slices the chip, depressing whichever side "
+                "measures during congestion) — read it as 'saturating "
+                "this axis', not as beating the hardware"
+            )
+        return block
 
     def _r(x, nd=1):
         return None if x is None else round(x, nd)
