@@ -45,3 +45,19 @@ def test_graft_entry_importable():
     # entry() must build a jittable fn + example args without device work
     fn, args = entry_mod.entry()
     assert callable(fn) and isinstance(args, tuple)
+
+def test_python_dash_m_qfa_tpu_dispatches_to_cli():
+    """``python -m qfa_tpu`` mirrors the reference's ``python main.py`` entry
+    (/root/reference/main.py:16-42): the module entry must parse args and
+    reject an invalid TYPE through the same ``cli.main`` dispatcher."""
+    import subprocess
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "qfa_tpu", "--type", "bogus"],
+        capture_output=True,
+        text=True,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": ROOT},
+        timeout=240,
+    )
+    assert proc.returncode != 0
+    assert "TYPE must be 'train' or 'predict'" in proc.stderr + proc.stdout
