@@ -14,6 +14,13 @@ from .fused_step import (
     finish_f_gradient,
     fused_loss_grads,
 )
+from .validate import (
+    max_tile_batch,
+    validate_epoch_kernel,
+    validate_predict_kernel,
+    validate_step_kernel,
+    validate_tile,
+)
 
 __all__ = [
     "EpochOutputs",
@@ -27,4 +34,9 @@ __all__ = [
     "FusedStepOutputs",
     "finish_f_gradient",
     "fused_loss_grads",
+    "max_tile_batch",
+    "validate_epoch_kernel",
+    "validate_predict_kernel",
+    "validate_step_kernel",
+    "validate_tile",
 ]

@@ -80,6 +80,7 @@ LOG_2PI = 1.8378770664093453
 
 __all__ = [
     "EpochOutputs",
+    "SyncEpochOutputs",
     "fused_train_epoch",
     "zq_column",
     "loglam_row",
@@ -102,6 +103,25 @@ class EpochOutputs(NamedTuple):
     #: weight lane) with ``derive_zabs``, rows with >=1 observed pixel in
     #: plane mode.
     n_real: Array
+
+
+class SyncEpochOutputs(NamedTuple):
+    """Outputs of a ``sync_grads`` window launch (``parallel.sync_dp``).
+
+    ``params/m/v`` reflect the applied pending update plus the window's
+    LOCAL batch updates (none when ``n_batches == 1`` — the exact-DP
+    cadence); the last batch's RAW gradient accumulators come back for the
+    cross-device psum instead of being applied in-kernel.
+    """
+
+    params: QFAParams
+    m: QFAParams
+    v: QFAParams
+    loss_sums: Array  #: (n_batches,) summed NLL per batch of the window.
+    n_real: Array  #: real rows per batch.
+    drhst: Array  #: (RC, P) raw [tri-Gram | F] gradient rows, LAST batch.
+    grows: Array  #: (8, P) raw dPsi/domega/counts/scalar-grad rows.
+    small: Array  #: (1, 128) raw [nll_sum, scal_cnt, n_real, ...] sums.
 
 
 # ---------------------------------------------------------------------------
@@ -160,6 +180,8 @@ H_VMIN, H_VMAX, H_T0MIN, H_T0MAX, H_BMIN, H_BMAX, H_CMIN, H_CMAX = (
     10, 11, 12, 13, 14, 15, 16, 17,
 )
 H_REFNORM = 18  #: 1.0 -> per-element count normalization, 0.0 -> mean
+H_APPLY = 19  #: sync_grads mode: 1.0 -> apply the pending (psum'd)
+#: gradient accumulators at launch start (0 on an epoch's first launch)
 
 # SMEM scalar-state slots: value, m, v for each of tau0, c0, beta
 S_T0, S_C0, S_BETA = 0, 1, 2
@@ -207,6 +229,9 @@ def _epoch_kernel(
     pb: int,  #: blue-padded lane count (round_up(nb, 128), <= p_lanes)
     p_lanes: int,  #: full padded pixel width P
     mxu_bf16: bool,  #: bf16 passes (f32 accumulate) on the heavy dots
+    sync_grads: bool,  #: exact-DP window mode: apply an incoming (psum'd)
+    #: gradient at launch start, output the LAST batch's raw gradient
+    #: accumulators instead of applying them (parallel.sync_dp)
 ):
     mask_ref = None
     if not derive_mask:
@@ -215,12 +240,23 @@ def _epoch_kernel(
     loglam_ref = None
     if derive_zabs:
         loglam_ref, *rest = rest
-    (
-        loss_ref, ft_out_ref, mft_out_ref, vft_out_ref, rows_out_ref,
-        scal_out_ref,
-        rhst_scr, drhst_scr, mft_scr, vft_scr, rows_scr, grows_scr,
-        small_scr, sc_scr,
-    ) = rest
+    pend_drhst_ref = pend_grows_ref = pend_small_ref = None
+    gdrhst_out = ggrows_out = gsmall_out = None
+    if sync_grads:
+        pend_drhst_ref, pend_grows_ref, pend_small_ref, *rest = rest
+        (
+            loss_ref, ft_out_ref, mft_out_ref, vft_out_ref, rows_out_ref,
+            scal_out_ref, gdrhst_out, ggrows_out, gsmall_out,
+            rhst_scr, drhst_scr, mft_scr, vft_scr, rows_scr, grows_scr,
+            small_scr, sc_scr,
+        ) = rest
+    else:
+        (
+            loss_ref, ft_out_ref, mft_out_ref, vft_out_ref, rows_out_ref,
+            scal_out_ref,
+            rhst_scr, drhst_scr, mft_scr, vft_scr, rows_scr, grows_scr,
+            small_scr, sc_scr,
+        ) = rest
     e = pl.program_id(0)  # epoch-within-launch index
     i = pl.program_id(1)  # batch index
     j = pl.program_id(2)  # tile-within-batch index
@@ -253,6 +289,154 @@ def _epoch_kernel(
         drhst_scr[...] = jnp.zeros_like(drhst_scr)
         grows_scr[...] = jnp.zeros_like(grows_scr)
         small_scr[...] = jnp.zeros_like(small_scr)
+
+    # -- gradient finish + Adam update + RHS rebuild --------------------------
+    # A plain function (not a pl.when body): called at every batch end, and
+    # additionally at launch START in sync_grads mode to apply the psum'd
+    # pending gradient of the previous launch's last batch. It reads only
+    # refs/scratch, so both call sites see identical semantics.
+    def _finish_and_update():
+        # per-epoch scheduled LR and bias correction: row e of the hyper
+        # table (the reference's Adam counter advances once per epoch,
+        # /root/reference/QFA/optimizer.py:49-69)
+        lr = hyper_ref[e, H_LR]
+        bc1 = hyper_ref[e, H_BC1]
+        bc2 = hyper_ref[e, H_BC2]
+        eps = hyper_ref[0, H_EPS]
+        wd = hyper_ref[0, H_WD]
+        b1 = hyper_ref[0, H_B1]
+        b2 = hyper_ref[0, H_B2]
+        refnorm = hyper_ref[0, H_REFNORM]
+        n_real = jnp.maximum(small_scr[0, 2], 1.0)
+        scal_cnt = jnp.maximum(small_scr[0, 1], 1.0)
+
+        cnt_row = grows_scr[G_CNT : G_CNT + 1, :]  # (1, P)
+        denom_row = jnp.where(refnorm > 0, jnp.maximum(cnt_row, 1.0), n_real)
+        zero_row = jnp.where(refnorm > 0, (cnt_row > 0).astype(f32), 1.0)
+
+        def adam_row(p, g, mrow, vrow):
+            g = g + wd * p
+            mn = (1.0 - b1) * g + b1 * mrow
+            vn = (1.0 - b2) * g * g + b2 * vrow
+            pn = p - lr * (mn / bc1) / (jnp.sqrt(vn / bc2) + eps)
+            return pn, mn, vn
+
+        vmin = hyper_ref[0, H_VMIN]
+        vmax = hyper_ref[0, H_VMAX]
+        dpsi = grows_scr[G_DPSI : G_DPSI + 1, :] / denom_row * zero_row
+        p_new, m_new, v_new = adam_row(
+            rows_scr[R_PSI : R_PSI + 1, :], dpsi,
+            rows_scr[R_MPSI : R_MPSI + 1, :],
+            rows_scr[R_VPSI : R_VPSI + 1, :],
+        )
+        rows_scr[R_PSI : R_PSI + 1, :] = jnp.clip(p_new, vmin, vmax)
+        rows_scr[R_MPSI : R_MPSI + 1, :] = m_new
+        rows_scr[R_VPSI : R_VPSI + 1, :] = v_new
+
+        blue_r = blue_ref[...]
+        domega = grows_scr[G_DOMEGA : G_DOMEGA + 1, :] / denom_row * zero_row
+        o_new, om_new, ov_new = adam_row(
+            rows_scr[R_OMEGA : R_OMEGA + 1, :], domega,
+            rows_scr[R_MOMEGA : R_MOMEGA + 1, :],
+            rows_scr[R_VOMEGA : R_VOMEGA + 1, :],
+        )
+        # omega exists only on blue pixels; keep red/pad lanes at 0
+        rows_scr[R_OMEGA : R_OMEGA + 1, :] = (
+            jnp.clip(o_new, vmin, vmax) * blue_r
+        )
+        rows_scr[R_MOMEGA : R_MOMEGA + 1, :] = om_new * blue_r
+        rows_scr[R_VOMEGA : R_VOMEGA + 1, :] = ov_new * blue_r
+
+        # F rows: dF[a] = dRHS_F[a] + sum_b (dG[ab] + dG[ba]) F[b], all
+        # (1,P). Off-diagonal tri rows already hold dG[ab]+dG[ba] (the S
+        # rows were pre-doubled); the diagonal row holds dG[aa] once.
+        f_rows = [rhst_scr[ntri + a : ntri + a + 1, :] for a in range(nh)]
+        new_f_rows = []
+        for a in range(nh):
+            df = drhst_scr[ntri + a : ntri + a + 1, :]
+            for b in range(nh):
+                t = _tri_idx(a, b)
+                dg = drhst_scr[t : t + 1, :]
+                if a == b:
+                    dg = dg + dg
+                df = df + dg * f_rows[b]
+            df = df / denom_row * zero_row
+            g = df + wd * f_rows[a]
+            mn = (1.0 - b1) * g + b1 * mft_scr[a : a + 1, :]
+            vn = (1.0 - b2) * g * g + b2 * vft_scr[a : a + 1, :]
+            fn = f_rows[a] - lr * (mn / bc1) / (jnp.sqrt(vn / bc2) + eps)
+            mft_scr[a : a + 1, :] = mn
+            vft_scr[a : a + 1, :] = vn
+            new_f_rows.append(fn)
+
+        # scalar gradients: lane sums via MXU against the ones row
+        ones_r = rhst_scr[ones_row : ones_row + 1, :]  # (1, P)
+
+        def lane_sum(row_idx):
+            acc = jax.lax.dot_general(
+                grows_scr[row_idx : row_idx + 1, :], ones_r,
+                (((1,), (1,)), ((), ())), **_HP,
+            )  # (1, 1)
+            small_scr[0:1, 8 + row_idx : 9 + row_idx] = acc
+
+        lane_sum(G_DT0)
+        lane_sum(G_DC0)
+        lane_sum(G_DBETA)
+        sdenom = jnp.where(refnorm > 0, scal_cnt, n_real)
+
+        def adam_scalar(slot_p, slot_m, slot_v, g, lo, hi):
+            g = g / sdenom + wd * sc_scr[0, slot_p]
+            mn = (1.0 - b1) * g + b1 * sc_scr[0, slot_m]
+            vn = (1.0 - b2) * g * g + b2 * sc_scr[0, slot_v]
+            pn = sc_scr[0, slot_p] - lr * (mn / bc1) / (
+                jnp.sqrt(vn / bc2) + eps
+            )
+            sc_scr[0, slot_p] = jnp.clip(pn, lo, hi)
+            sc_scr[0, slot_m] = mn
+            sc_scr[0, slot_v] = vn
+
+        adam_scalar(
+            S_T0, S_MT0, S_VT0, small_scr[0, 8 + G_DT0],
+            hyper_ref[0, H_T0MIN], hyper_ref[0, H_T0MAX],
+        )
+        adam_scalar(
+            S_C0, S_MC0, S_VC0, small_scr[0, 8 + G_DC0],
+            hyper_ref[0, H_CMIN], hyper_ref[0, H_CMAX],
+        )
+        adam_scalar(
+            S_BETA, S_MBETA, S_VBETA, small_scr[0, 8 + G_DBETA],
+            hyper_ref[0, H_BMIN], hyper_ref[0, H_BMAX],
+        )
+
+        # rebuild [tri(gram) | F] rows from the new F
+        for a in range(nh):
+            rhst_scr[ntri + a : ntri + a + 1, :] = new_f_rows[a]
+        for t, (a, b) in enumerate(pairs):
+            rhst_scr[t : t + 1, :] = new_f_rows[a] * new_f_rows[b]
+
+    if sync_grads:
+        # -- launch start: apply the incoming (psum'd) gradient ---------------
+        # The previous launch's LAST batch exported raw accumulators; the
+        # engine psum'd them across the mesh; this launch applies the
+        # GLOBAL update before any of its own tiles are processed. Gated
+        # on the hyper table's apply flag (0 on the first launch of an
+        # epoch). Accumulators are re-zeroed afterwards (the j == 0 reset
+        # above already ran for this grid step).
+        @pl.when(
+            jnp.logical_and(
+                hyper_ref[0, H_APPLY] > 0.0,
+                jnp.logical_and(e == 0, jnp.logical_and(i == 0, j == 0)),
+            )
+        )
+        def _apply_pending():
+            drhst_scr[...] = pend_drhst_ref[...]
+            grows_scr[...] = pend_grows_ref[...]
+            small_scr[...] = pend_small_ref[...]
+            _finish_and_update()
+            drhst_scr[...] = jnp.zeros_like(drhst_scr)
+            grows_scr[...] = jnp.zeros_like(grows_scr)
+            small_scr[...] = jnp.zeros_like(small_scr)
+
 
     # -- forward + backward for this tile (cf. ops.fused_step) ---------------
     law_a = hyper_ref[0, H_LAW_A]
@@ -502,129 +686,27 @@ def _epoch_kernel(
         dtau_hi * tau0 * zp1b * log_zp1, axis=0, keepdims=True
     )
 
-    # -- batch end: finish gradients, Adam update, rebuild RHS ---------------
+
+    # -- batch end: record the loss books, then update (or, in sync mode,
+    # export the LAST batch's raw accumulators for the cross-device psum
+    # instead of applying them locally) ---------------------------------------
     @pl.when(j == tpb - 1)
-    def _batch_update():
-        # per-epoch scheduled LR and bias correction: row e of the hyper
-        # table (the reference's Adam counter advances once per epoch,
-        # /root/reference/QFA/optimizer.py:49-69)
-        lr = hyper_ref[e, H_LR]
-        bc1 = hyper_ref[e, H_BC1]
-        bc2 = hyper_ref[e, H_BC2]
-        eps = hyper_ref[0, H_EPS]
-        wd = hyper_ref[0, H_WD]
-        b1 = hyper_ref[0, H_B1]
-        b2 = hyper_ref[0, H_B2]
-        refnorm = hyper_ref[0, H_REFNORM]
-        n_real = jnp.maximum(small_scr[0, 2], 1.0)
-        scal_cnt = jnp.maximum(small_scr[0, 1], 1.0)
-
-        cnt_row = grows_scr[G_CNT : G_CNT + 1, :]  # (1, P)
-        denom_row = jnp.where(refnorm > 0, jnp.maximum(cnt_row, 1.0), n_real)
-        zero_row = jnp.where(refnorm > 0, (cnt_row > 0).astype(f32), 1.0)
-
-        def adam_row(p, g, mrow, vrow):
-            g = g + wd * p
-            mn = (1.0 - b1) * g + b1 * mrow
-            vn = (1.0 - b2) * g * g + b2 * vrow
-            pn = p - lr * (mn / bc1) / (jnp.sqrt(vn / bc2) + eps)
-            return pn, mn, vn
-
-        vmin = hyper_ref[0, H_VMIN]
-        vmax = hyper_ref[0, H_VMAX]
-        dpsi = grows_scr[G_DPSI : G_DPSI + 1, :] / denom_row * zero_row
-        p_new, m_new, v_new = adam_row(
-            rows_scr[R_PSI : R_PSI + 1, :], dpsi,
-            rows_scr[R_MPSI : R_MPSI + 1, :],
-            rows_scr[R_VPSI : R_VPSI + 1, :],
-        )
-        rows_scr[R_PSI : R_PSI + 1, :] = jnp.clip(p_new, vmin, vmax)
-        rows_scr[R_MPSI : R_MPSI + 1, :] = m_new
-        rows_scr[R_VPSI : R_VPSI + 1, :] = v_new
-
-        blue_r = blue_ref[...]
-        domega = grows_scr[G_DOMEGA : G_DOMEGA + 1, :] / denom_row * zero_row
-        o_new, om_new, ov_new = adam_row(
-            rows_scr[R_OMEGA : R_OMEGA + 1, :], domega,
-            rows_scr[R_MOMEGA : R_MOMEGA + 1, :],
-            rows_scr[R_VOMEGA : R_VOMEGA + 1, :],
-        )
-        # omega exists only on blue pixels; keep red/pad lanes at 0
-        rows_scr[R_OMEGA : R_OMEGA + 1, :] = (
-            jnp.clip(o_new, vmin, vmax) * blue_r
-        )
-        rows_scr[R_MOMEGA : R_MOMEGA + 1, :] = om_new * blue_r
-        rows_scr[R_VOMEGA : R_VOMEGA + 1, :] = ov_new * blue_r
-
-        # F rows: dF[a] = dRHS_F[a] + sum_b (dG[ab] + dG[ba]) F[b], all
-        # (1,P). Off-diagonal tri rows already hold dG[ab]+dG[ba] (the S
-        # rows were pre-doubled); the diagonal row holds dG[aa] once.
-        f_rows = [rhst_scr[ntri + a : ntri + a + 1, :] for a in range(nh)]
-        new_f_rows = []
-        for a in range(nh):
-            df = drhst_scr[ntri + a : ntri + a + 1, :]
-            for b in range(nh):
-                t = _tri_idx(a, b)
-                dg = drhst_scr[t : t + 1, :]
-                if a == b:
-                    dg = dg + dg
-                df = df + dg * f_rows[b]
-            df = df / denom_row * zero_row
-            g = df + wd * f_rows[a]
-            mn = (1.0 - b1) * g + b1 * mft_scr[a : a + 1, :]
-            vn = (1.0 - b2) * g * g + b2 * vft_scr[a : a + 1, :]
-            fn = f_rows[a] - lr * (mn / bc1) / (jnp.sqrt(vn / bc2) + eps)
-            mft_scr[a : a + 1, :] = mn
-            vft_scr[a : a + 1, :] = vn
-            new_f_rows.append(fn)
-
-        # scalar gradients: lane sums via MXU against the ones row
-        ones_r = rhst_scr[ones_row : ones_row + 1, :]  # (1, P)
-
-        def lane_sum(row_idx):
-            acc = jax.lax.dot_general(
-                grows_scr[row_idx : row_idx + 1, :], ones_r,
-                (((1,), (1,)), ((), ())), **_HP,
-            )  # (1, 1)
-            small_scr[0:1, 8 + row_idx : 9 + row_idx] = acc
-
-        lane_sum(G_DT0)
-        lane_sum(G_DC0)
-        lane_sum(G_DBETA)
-        sdenom = jnp.where(refnorm > 0, scal_cnt, n_real)
-
-        def adam_scalar(slot_p, slot_m, slot_v, g, lo, hi):
-            g = g / sdenom + wd * sc_scr[0, slot_p]
-            mn = (1.0 - b1) * g + b1 * sc_scr[0, slot_m]
-            vn = (1.0 - b2) * g * g + b2 * sc_scr[0, slot_v]
-            pn = sc_scr[0, slot_p] - lr * (mn / bc1) / (
-                jnp.sqrt(vn / bc2) + eps
-            )
-            sc_scr[0, slot_p] = jnp.clip(pn, lo, hi)
-            sc_scr[0, slot_m] = mn
-            sc_scr[0, slot_v] = vn
-
-        adam_scalar(
-            S_T0, S_MT0, S_VT0, small_scr[0, 8 + G_DT0],
-            hyper_ref[0, H_T0MIN], hyper_ref[0, H_T0MAX],
-        )
-        adam_scalar(
-            S_C0, S_MC0, S_VC0, small_scr[0, 8 + G_DC0],
-            hyper_ref[0, H_CMIN], hyper_ref[0, H_CMAX],
-        )
-        adam_scalar(
-            S_BETA, S_MBETA, S_VBETA, small_scr[0, 8 + G_DBETA],
-            hyper_ref[0, H_BMIN], hyper_ref[0, H_BMAX],
-        )
-
-        # rebuild [tri(gram) | F] rows from the new F
-        for a in range(nh):
-            rhst_scr[ntri + a : ntri + a + 1, :] = new_f_rows[a]
-        for t, (a, b) in enumerate(pairs):
-            rhst_scr[t : t + 1, :] = new_f_rows[a] * new_f_rows[b]
-
+    def _batch_end():
         # per-batch loss output: [nll_sum, scalar_cnt, n_real, ...]
+        # (pre-update sums; cols 8+ are scalar-gradient scratch)
         loss_ref[pl.ds(e * n_batches + i, 1), :] = small_scr[...]
+        if not sync_grads:
+            _finish_and_update()
+        else:
+            @pl.when(i < n_batches - 1)
+            def _local_update():
+                _finish_and_update()
+
+            @pl.when(i == n_batches - 1)
+            def _export_grads():
+                gdrhst_out[...] = drhst_scr[...]
+                ggrows_out[...] = grows_scr[...]
+                gsmall_out[...] = small_scr[...]
 
     # -- launch end: write final state ---------------------------------------
     @pl.when(
@@ -709,7 +791,8 @@ def _validate_zq(zabs: Array, loglam, n: int) -> None:
     jax.jit,
     static_argnames=(
         "n_batches", "n_epochs", "tile_batch", "tau_which", "reference_norm",
-        "mxu_bf16", "interpret", "derive_zabs",
+        "mxu_bf16", "interpret", "derive_zabs", "sync_grads",
+        "tiles_per_batch",
     ),
 )
 def fused_train_epoch(
@@ -740,6 +823,10 @@ def fused_train_epoch(
     reference_norm: bool = True,
     mxu_bf16: bool = False,
     interpret: bool = False,
+    sync_grads: bool = False,
+    tiles_per_batch: int | None = None,
+    pending: tuple[Array, Array, Array] | None = None,
+    apply_pending: Array | None = None,
 ) -> EpochOutputs:
     """Run one (or several) full training epochs in a single Pallas launch.
 
@@ -796,9 +883,23 @@ def fused_train_epoch(
             scalar-gradient lane sums stay f32. Off by default (the
             default engine is loss-curve-parity with the XLA path).
 
+    ``sync_grads`` (the exact-DP window mode, ``parallel.sync_dp``): the
+    launch covers only the WINDOW of batches named by ``tile_perm``
+    (``tiles_per_batch`` tiles each; perm values are absolute tile indices
+    into the full resident arrays). The psum'd ``pending`` accumulators of
+    the previous window's last batch are applied at launch start when
+    ``apply_pending > 0`` — via the very same in-kernel epilogue a plain
+    epoch uses — and the LAST batch of this window exports its raw
+    accumulators (``SyncEpochOutputs.drhst/grows/small``) for the next
+    cross-device psum instead of updating locally. With ``n_batches == 1``
+    no local update ever happens: every optimizer step consumes globally
+    summed gradients — trajectory-exact data parallelism at one kernel
+    launch + one collective per batch.
+
     Returns:
         ``loss_sums``/``n_real`` are ``(n_batches,)`` when ``n_epochs ==
         1`` (the historical shape) and ``(n_epochs, n_batches)`` otherwise.
+        ``SyncEpochOutputs`` when ``sync_grads``.
     """
     npix, nh = params.F.shape
     nb = params.omega.shape[0]
@@ -807,18 +908,30 @@ def fused_train_epoch(
     if n % tb:
         raise ValueError(f"dataset rows {n} not divisible by tile {tb}")
     n_tiles = n // tb
-    if n_tiles % n_batches:
-        raise ValueError(
-            f"{n_tiles} tiles not divisible by {n_batches} batches"
-        )
-    tpb = n_tiles // n_batches
+    if tiles_per_batch is not None:
+        tpb = tiles_per_batch
+    else:
+        if n_tiles % n_batches:
+            raise ValueError(
+                f"{n_tiles} tiles not divisible by {n_batches} batches"
+            )
+        tpb = n_tiles // n_batches
     if n_epochs < 1:
         raise ValueError(f"n_epochs must be >= 1, got {n_epochs}")
+    if sync_grads:
+        if n_epochs != 1:
+            raise ValueError("sync_grads windows are single-epoch")
+        if pending is None or apply_pending is None:
+            raise ValueError(
+                "sync_grads=True requires pending=(drhst, grows, small) "
+                "and apply_pending (pass zeros + 0.0 on the first window)"
+            )
     tile_perm = tile_perm.reshape(-1)
-    if tile_perm.shape[0] != n_epochs * n_tiles:
+    if tile_perm.shape[0] != n_epochs * n_batches * tpb:
         raise ValueError(
             f"tile_perm has {tile_perm.shape[0]} entries; expected "
-            f"n_epochs*n_tiles = {n_epochs}*{n_tiles}"
+            f"n_epochs*n_batches*tiles_per_batch = "
+            f"{n_epochs}*{n_batches}*{tpb}"
         )
     # rc is the SUBLANE dim of the contraction matrix (8-multiple suffices;
     # 128 would pad the rows to 128 of wasted MXU work per dot). The Gram
@@ -826,6 +939,18 @@ def fused_train_epoch(
     ntri = nh * (nh + 1) // 2
     p, rc = _round_up(npix, 128), _round_up(ntri + nh + 1, 8)
     f32 = jnp.float32
+
+    # Alignment/VMEM guard BEFORE tracing the kernel: interpret-mode CI
+    # cannot see Mosaic lowering failures, so the constraints are encoded
+    # explicitly here (ops.validate) and raised as actionable errors.
+    from .validate import validate_epoch_kernel
+
+    validate_epoch_kernel(
+        nh=nh, tile_batch=tb, p_lanes=p, rc=rc, n_batches=n_batches,
+        n_epochs=n_epochs, streams=2 + (0 if derive_zabs else 1)
+        + (0 if mask is None else 1),
+        zq_lanes=ZQ_LANES if derive_zabs else None, interpret=interpret,
+    )
 
     def pad_px(x, width):
         # bfloat16 planes stream as-is (the kernel casts tiles to f32);
@@ -914,14 +1039,19 @@ def fused_train_epoch(
         _epoch_kernel, nh=nh, tb=tb, tpb=tpb, n_batches=n_batches,
         n_epochs=n_epochs, derive_mask=mask is None, derive_zabs=derive_zabs,
         pb=min(_round_up(nb, 128), p), p_lanes=p, mxu_bf16=mxu_bf16,
+        sync_grads=sync_grads,
     )
+    # per-epoch stride through the (flattened) perm; == n_tiles for whole
+    # epochs, n_batches*tpb for sync windows (perm VALUES stay absolute
+    # tile indices into the full resident arrays either way)
+    stride = n_batches * tpb
     tile_spec = pl.BlockSpec(
-        (tb, p), lambda e, i, j, perm: (perm[e * n_tiles + i * tpb + j], 0),
+        (tb, p), lambda e, i, j, perm: (perm[e * stride + i * tpb + j], 0),
         memory_space=pltpu.VMEM,
     )
     z_spec = tile_spec if not derive_zabs else pl.BlockSpec(
         (tb, zabs_p.shape[1]),
-        lambda e, i, j, perm: (perm[e * n_tiles + i * tpb + j], 0),
+        lambda e, i, j, perm: (perm[e * stride + i * tpb + j], 0),
         memory_space=pltpu.VMEM,
     )
 
@@ -948,6 +1078,11 @@ def fused_train_epoch(
             whole((8, p)),  # rows0
             whole((1, p)),  # blue
             *([] if loglam_p is None else [whole((1, p))]),  # loglam
+            *([] if not sync_grads else [
+                whole((rc, p)),  # pending drhst
+                whole((8, p)),  # pending grows
+                whole((1, 128)),  # pending small
+            ]),
         ],
         out_specs=[
             # whole-array block: rows written at dynamic offsets per batch
@@ -961,6 +1096,11 @@ def fused_train_epoch(
             whole((8, p)),  # rows_out
             pl.BlockSpec((1, 16), lambda e, i, j, perm: (0, 0),
                          memory_space=pltpu.SMEM),  # scal_out
+            *([] if not sync_grads else [
+                whole((rc, p)),  # raw drhst of the last batch
+                whole((8, p)),  # raw grows
+                whole((1, 128)),  # raw small
+            ]),
         ],
         scratch_shapes=[
             pltpu.VMEM((rc, p), f32),  # rhs_t
@@ -982,20 +1122,44 @@ def fused_train_epoch(
         jax.ShapeDtypeStruct((8, p), f32),
         jax.ShapeDtypeStruct((1, 16), f32),
     ]
-    losses, ft_out, mft_out, vft_out, rows_out, scal_out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=out_shape,
-        compiler_params=None
-        if interpret
-        else pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
-        interpret=interpret,
-    )(
-        tile_perm.astype(jnp.int32),
-        hyper, scal0, delta, error, zabs_p,
-        *([] if mask_p is None else [mask_p]),
-        ft0, mft0, vft0, rows0, blue0,
-        *([] if loglam_p is None else [loglam_p]),
+    pend_args: list = []
+    if sync_grads:
+        hyper = hyper.at[0, H_APPLY].set(
+            jnp.asarray(apply_pending, f32).reshape(())
+        )
+        pd, pg, ps = pending
+        for buf, shape, name in (
+            (pd, (rc, p), "drhst"), (pg, (8, p), "grows"),
+            (ps, (1, 128), "small"),
+        ):
+            if buf.shape != shape:
+                raise ValueError(
+                    f"pending {name} has shape {buf.shape}, expected "
+                    f"{shape}"
+                )
+        pend_args = [pd.astype(f32), pg.astype(f32), ps.astype(f32)]
+        out_shape += [
+            jax.ShapeDtypeStruct((rc, p), f32),
+            jax.ShapeDtypeStruct((8, p), f32),
+            jax.ShapeDtypeStruct((1, 128), f32),
+        ]
+    losses, ft_out, mft_out, vft_out, rows_out, scal_out, *gout = (
+        pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=None
+            if interpret
+            else pltpu.CompilerParams(vmem_limit_bytes=128 * 1024 * 1024),
+            interpret=interpret,
+        )(
+            tile_perm.astype(jnp.int32),
+            hyper, scal0, delta, error, zabs_p,
+            *([] if mask_p is None else [mask_p]),
+            ft0, mft0, vft0, rows0, blue0,
+            *([] if loglam_p is None else [loglam_p]),
+            *pend_args,
+        )
     )
 
     def unrow(arr, r, width=None):
@@ -1029,6 +1193,17 @@ def fused_train_epoch(
     if n_epochs > 1:
         loss_sums = loss_sums.reshape(n_epochs, n_batches)
         n_real_out = n_real_out.reshape(n_epochs, n_batches)
+    if sync_grads:
+        return SyncEpochOutputs(
+            params=params_out,
+            m=m_out,
+            v=v_out,
+            loss_sums=loss_sums,
+            n_real=n_real_out,
+            drhst=gout[0],
+            grows=gout[1],
+            small=gout[2],
+        )
     return EpochOutputs(
         params=params_out,
         m=m_out,

@@ -342,15 +342,25 @@ def fused_loss_grads(
 
     Contract matches ``models.qfa.summed_stats`` (sans ``n_real``, which the
     caller derives from the batch weights). Batch rows that are fully masked
-    contribute exactly zero to every output.
+    contribute exactly zero to every output. Batches that are not a tile
+    multiple are padded internally with fully-masked (inert) rows up to one
+    — any batch size is accepted; off interpret mode the resolved tile is
+    bumped to the 8-row sublane granule Mosaic requires
+    (``ops.validate.validate_step_kernel``).
     """
     npix, nh = params.F.shape
     nb = params.omega.shape[0]
     b = batch.delta.shape[0]
     tb = min(tile_batch, b)
-    if b % tb:
-        raise ValueError(f"batch {b} not divisible by tile {tb}")
+    if not interpret and tb % 8:
+        # hardware needs sublane-aligned tiles; inert-row padding (below)
+        # absorbs the difference
+        tb = min(tile_batch, _round_up(b, 8))
     p, rc = _build_static(npix, nb, nh, tb)
+    from .validate import validate_step_kernel
+
+    validate_step_kernel(tile_batch=tb, p_lanes=p, interpret=interpret)
+    b_pad = _round_up(b, tb)
 
     f32 = jnp.float32
 
@@ -358,13 +368,17 @@ def fused_loss_grads(
         return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, p - x.shape[-1])],
                        constant_values=value)
 
+    def pad_bp(x):
+        # pixels to the lane width AND rows to a tile multiple: pad rows
+        # carry mask == 0 and vanish from every accumulated output
+        return jnp.pad(x, [(0, b_pad - b), (0, p - x.shape[-1])])
+
     # batch tensors, padded along pixels; zabs padded from Nb to P with 0
-    delta = pad_px(batch.delta.astype(f32) * batch.mask.astype(f32))
-    error = pad_px(batch.error.astype(f32))
-    zabs = pad_px(batch.zabs.astype(f32))
-    mask = pad_px(batch.mask.astype(f32))
-    # weight==0 rows must vanish: zero their masks
-    mask = mask * batch.weight.astype(f32)[:, None]
+    delta = pad_bp(batch.delta.astype(f32) * batch.mask.astype(f32))
+    error = pad_bp(batch.error.astype(f32))
+    zabs = pad_bp(batch.zabs.astype(f32))
+    # weight==0 rows must vanish: zero their masks (pad rows already are)
+    mask = pad_bp(batch.mask.astype(f32) * batch.weight.astype(f32)[:, None])
 
     psi_row = pad_px(params.Psi.astype(f32))[None, :]
     omega_row = pad_px(
@@ -393,7 +407,7 @@ def fused_loss_grads(
         f32,
     )
 
-    grid = (b // tb,)
+    grid = (b_pad // tb,)
     kernel = functools.partial(_step_kernel, nh=nh, tb=tb)
     batch_spec = pl.BlockSpec((tb, p), lambda i: (i, 0), memory_space=pltpu.VMEM)
     row_spec = pl.BlockSpec((1, p), lambda i: (0, 0), memory_space=pltpu.VMEM)

@@ -65,11 +65,13 @@ def default_tile_batch(npix: int) -> int:
     256 fails to compile (the training kernel takes 128 at DESI width too
     since the accumulation-dot split — ``train.pallas_engine.
     pick_tile_batch``).
-    Very wide grids drop to 64. Used whenever the caller does not pass an
-    explicit ``tile_batch``.
+    Tiles below 128 cannot lower at all off interpret mode — the
+    lane-major stats output needs a 128-multiple minor block dim
+    (``ops.validate.validate_predict_kernel``, found by the bench.py
+    --smoke lowering check) — so 128 is the floor for arbitrarily wide
+    grids too. Used whenever the caller does not pass an explicit
+    ``tile_batch``.
     """
-    if npix > 12000:
-        return 64
     return 128 if npix > 4000 else 256
 
 
@@ -320,6 +322,11 @@ def fused_predict(
     p = _round_up(npix, 128)
     rc = _round_up(nh * (nh + 1) // 2 + nh + 1, 8)
     f32 = jnp.float32
+    from .validate import validate_predict_kernel
+
+    validate_predict_kernel(
+        tile_batch=tb, p_lanes=p, n_rows=n, interpret=interpret
+    )
 
     def pad_px(x, width=None):
         width = p if width is None else width

@@ -43,6 +43,7 @@ def make_epoch_dp_fn(
     mesh: Mesh,
     *,
     tile_batch: int | None = None,
+    batch_rows: int | None = None,
     loglam=None,
     n_real: int | None = None,
     epochs_per_launch: int = 1,
@@ -52,8 +53,12 @@ def make_epoch_dp_fn(
 
     ``data`` must be sharded over the spectrum axis
     (:func:`parallel.dp.shard_dataset`) with every per-device shard a
-    multiple of ``tile_batch`` and of the LOCAL batch
-    ``config.batch_size // ndev``; the state stays replicated.
+    multiple of ``tile_batch`` and of the LOCAL batch window
+    ``(batch_rows or config.batch_size) // ndev`` — ``batch_rows`` is the
+    tile-padded per-update row count from
+    ``train.pallas_engine.pick_tiling`` for batch sizes no sublane-aligned
+    tile divides (the padding rows are inert; ``fit_pallas(mesh=...)``
+    builds all of this automatically); the state stays replicated.
     ``tile_batch=None`` (the default) picks the npix-aware VMEM-safe tile
     that divides the local batch (``train.pallas_engine.pick_tile_batch``
     — 128 at DESI width, where a fixed 256 fails to compile); an explicit
@@ -91,6 +96,14 @@ def make_epoch_dp_fn(
             f"{ndev}-device mesh"
         )
     b_local = config.batch_size // ndev
+    if batch_rows is not None and batch_rows % ndev:
+        raise ValueError(
+            f"batch_rows {batch_rows} not divisible by the {ndev}-device "
+            "mesh"
+        )
+    # rows each local update spans: b_local plus inert padding when the
+    # caller (fit_pallas) padded batches up to a tile multiple
+    b_local_rows = b_local if batch_rows is None else batch_rows // ndev
     epl = int(epochs_per_launch)
     if epl < 1:
         raise ValueError(f"epochs_per_launch must be >= 1, got {epl}")
@@ -99,37 +112,45 @@ def make_epoch_dp_fn(
         if tile_batch is None:
             from ..train.pallas_engine import pick_tile_batch
 
-            tb = pick_tile_batch(b_local, npix)
+            tb = pick_tile_batch(b_local_rows, npix)
         else:
-            tb = min(tile_batch, b_local)
-        if b_local % tb:
+            tb = min(tile_batch, b_local_rows)
+        if b_local_rows % tb:
             raise ValueError(
                 f"tile_batch {tb} does not divide the local batch "
-                f"{b_local} (global batch {config.batch_size} over "
-                f"{ndev} devices)"
+                f"window of {b_local_rows} rows (global batch "
+                f"{config.batch_size} over {ndev} devices"
+                + (f", padded to {batch_rows} rows"
+                   if batch_rows is not None else "")
+                + ") — pass batch_rows from pick_tiling, or let "
+                "fit_pallas(mesh=...) pad the dataset automatically"
             )
         if not interpret and tb % 8:
             raise ValueError(
                 f"resolved tile of {tb} rows is not sublane-aligned; the "
                 f"Pallas epoch kernel needs 8-row multiples on hardware — "
                 f"pick a global batch whose per-device share "
-                f"({b_local} here) is divisible by an 8-multiple tile"
+                f"({b_local_rows} here) is divisible by an 8-multiple "
+                "tile, or let fit_pallas(mesh=...) pad batches to an "
+                "aligned tile automatically"
             )
         return tb
 
     def local_epoch(state: TrainState, data: ResidualDataset, key):
         n_local = data.delta.shape[0]
         tb = resolve_tile(data.delta.shape[1])
-        # b_local % tb is already guaranteed by resolve_tile, so
-        # n_local % b_local == 0 implies n_local % tb == 0 too — but check
-        # both explicitly so an invalid shard fails with the right message
-        # (never a ZeroDivisionError, and never a silent wrong-size batch).
-        if n_local % b_local or n_local % tb:
+        # b_local_rows % tb is already guaranteed by resolve_tile, so
+        # n_local % b_local_rows == 0 implies n_local % tb == 0 too — but
+        # check both explicitly so an invalid shard fails with the right
+        # message (never a ZeroDivisionError, and never a silent
+        # wrong-size batch).
+        if n_local % b_local_rows or n_local % tb:
             raise ValueError(
                 f"local shard of {n_local} rows is not a whole number of "
-                f"{b_local}-row batches ({tb}-row tiles; global batch "
-                f"{config.batch_size} over {ndev} devices) — pad the "
-                f"dataset to a multiple of {b_local * ndev} rows"
+                f"{b_local_rows}-row batch windows ({tb}-row tiles; "
+                f"global batch {config.batch_size} over {ndev} devices) — "
+                f"pad the dataset to a multiple of {b_local_rows * ndev} "
+                "rows"
             )
         dev = jax.lax.axis_index(axis)
         if epl == 1:
@@ -158,7 +179,7 @@ def make_epoch_dp_fn(
             perm,
             data.mask,
             epoch=state.opt_state.epoch,
-            n_batches=n_local // b_local,
+            n_batches=n_local // b_local_rows,
             n_epochs=epl,
             loglam=loglam,
             derive_zabs=loglam is not None,

@@ -7,6 +7,7 @@ from .pallas_engine import (
     make_pallas_epoch_fn,
     pallas_train_epoch,
     pick_tile_batch,
+    pick_tiling,
 )
 from .loop import (
     TrainConfig,
@@ -35,6 +36,7 @@ __all__ = [
     "fit_streaming",
     "pallas_train_epoch",
     "pick_tile_batch",
+    "pick_tiling",
     "guard_nonfinite",
     "make_epoch_fn",
     "make_pallas_step_fn",

@@ -38,23 +38,67 @@ __all__ = [
     "pallas_train_epoch",
     "fit_pallas",
     "pick_tile_batch",
+    "pick_tiling",
 ]
 
+#: measured per-grid-step fixed overhead of the epoch kernel (us, v5e).
+_GRID_STEP_US = 2.2
+#: measured per-row compute time at the SDSS width (us/row, v5e) — scaled
+#: linearly with the lane count for other grids.
+_ROW_US_SDSS = 0.11
 
-def pick_tile_batch(batch_size: int, npix: int, limit: int = 256) -> int:
-    """Largest power-of-two tile that divides the batch and fits VMEM.
 
-    The kernel double-buffers 4 float32 ``(tile, P)`` windows; 256 rows at
-    SDSS Npix leaves headroom under the 128 MB VMEM budget. DESI-scale
-    grids (Npix ~ 9.3k) take 128-row tiles since the accumulation-dot
-    split (measured ~6% faster than 64; 256 still fails to compile).
+def pick_tiling(
+    batch_size: int, npix: int, limit: int = 256
+) -> tuple[int, int]:
+    """Sublane-aligned tile + padded per-update row count for a batch size.
+
+    Returns ``(tile_batch, batch_rows)`` with ``tile_batch`` a multiple of
+    the 8-row f32 sublane granule (Mosaic rejects smaller/misaligned tile
+    blocks outright — the round-3 crash at the reference default
+    ``BATCH_SIZE=500``, whose largest power-of-two divisor is 4) and
+    ``batch_rows = ceil(batch_size / tile_batch) * tile_batch`` the rows
+    each optimizer update actually spans. When ``batch_rows >
+    batch_size``, callers pad the dataset with inert zero rows (weight 0 /
+    fully masked), which contribute nothing to gradients, counts, or the
+    loss bookkeeping — ``fit_pallas`` does this automatically.
+
+    Tile choice: 256 rows at SDSS width, 128 beyond 4096 lanes (DESI) —
+    the measured fastest compiling sizes. For batch sizes no power-of-two
+    tile divides, the tile minimizes the measured cost model
+    ``grid_steps * 2.2us + padded_rows * row_time`` over power-of-two
+    tiles in [8, limit] (e.g. 500 -> (256, 512): 2.4% inert-row waste
+    beats 63 sublane-narrow grid steps by ~25x).
     """
     if npix > 4000:
         limit = min(limit, 128)
+    # exact-divisor fast path: largest power-of-two divisor, if 8-aligned
     tb = 1
     while tb * 2 <= limit and batch_size % (tb * 2) == 0:
         tb *= 2
-    return tb
+    if tb >= 8:
+        return tb, batch_size
+    row_us = _ROW_US_SDSS * max(npix, 128) / 1920.0
+    best_tb, best_cost = 8, None
+    tb = 8
+    while tb <= limit:
+        steps = -(-batch_size // tb)
+        cost = steps * _GRID_STEP_US + (steps * tb - batch_size) * row_us
+        if best_cost is None or cost < best_cost:
+            best_tb, best_cost = tb, cost
+        tb *= 2
+    return best_tb, -(-batch_size // best_tb) * best_tb
+
+
+def pick_tile_batch(batch_size: int, npix: int, limit: int = 256) -> int:
+    """Sublane-aligned VMEM-safe tile for ``batch_size``-row batches.
+
+    The tile of :func:`pick_tiling`; it no longer necessarily divides the
+    batch — callers must pad batches up to ``pick_tiling``'s
+    ``batch_rows`` with inert rows (``fit_pallas`` and
+    ``ops.fused_step.fused_loss_grads`` do so automatically).
+    """
+    return pick_tiling(batch_size, npix, limit)[0]
 
 
 #: Bounded LRU of jitted epoch functions: a long-lived process training
@@ -70,6 +114,7 @@ def make_pallas_epoch_fn(
     config: TrainConfig,
     *,
     tile_batch: int,
+    batch_rows: int | None = None,
     derive_mask: bool = False,
     loglam=None,
     n_real: int | None = None,
@@ -89,16 +134,24 @@ def make_pallas_epoch_fn(
     absorber redshifts in-kernel — ``data.zabs`` must then be the
     ``(N, 128)`` :func:`qfa_tpu.ops.zq_column` buffer instead of the
     ``(N, Npix)`` zabs plane (a ~15x footprint/traffic cut for that array).
+
+    ``batch_rows`` is the PADDED per-update row count (``pick_tiling``'s
+    second output, a ``tile_batch`` multiple): when the configured batch
+    size has no sublane-aligned power-of-two divisor (e.g. the reference
+    default 500), each batch spans ``batch_rows`` dataset rows of which
+    the inert padding contributes nothing; the loss bookkeeping still
+    divides by the REAL batch size. Defaults to ``config.batch_size``.
     """
     loglam_key = None if loglam is None else np.asarray(loglam).tobytes()
-    cache_key = (config, tile_batch, derive_mask, loglam_key, n_real,
-                 interpret)
+    cache_key = (config, tile_batch, batch_rows, derive_mask, loglam_key,
+                 n_real, interpret)
     fn = _EPOCH_FN_CACHE.get(cache_key)
     if fn is not None:
         _EPOCH_FN_CACHE.move_to_end(cache_key)
         return fn
     tb = tile_batch
     b = config.batch_size
+    br = batch_rows or b
 
     @jax.jit
     def epoch_fn(state: TrainState, data: ResidualDataset, key: jax.Array):
@@ -114,7 +167,7 @@ def make_pallas_epoch_fn(
             perm,
             None if derive_mask else data.mask,
             epoch=state.opt_state.epoch,
-            n_batches=n // b,
+            n_batches=n // br,
             loglam=loglam,
             derive_zabs=loglam is not None,
             tile_batch=tb,
@@ -156,6 +209,7 @@ def make_pallas_chunk_fn(
     *,
     n_epochs: int,
     tile_batch: int,
+    batch_rows: int | None = None,
     derive_mask: bool = False,
     loglam=None,
     n_real: int | None = None,
@@ -178,14 +232,15 @@ def make_pallas_chunk_fn(
     unchunked runs follow the same trajectory.
     """
     loglam_key = None if loglam is None else np.asarray(loglam).tobytes()
-    cache_key = ("chunk", config, n_epochs, tile_batch, derive_mask,
-                 loglam_key, n_real, interpret)
+    cache_key = ("chunk", config, n_epochs, tile_batch, batch_rows,
+                 derive_mask, loglam_key, n_real, interpret)
     fn = _EPOCH_FN_CACHE.get(cache_key)
     if fn is not None:
         _EPOCH_FN_CACHE.move_to_end(cache_key)
         return fn
     tb = tile_batch
     b = config.batch_size
+    br = batch_rows or b
 
     @jax.jit
     def chunk_fn(state: TrainState, data: ResidualDataset, key: jax.Array):
@@ -208,7 +263,7 @@ def make_pallas_chunk_fn(
             perms,
             None if derive_mask else data.mask,
             epoch=ep0,
-            n_batches=n // b,
+            n_batches=n // br,
             n_epochs=n_epochs,
             loglam=loglam,
             derive_zabs=loglam is not None,
@@ -257,24 +312,35 @@ def pallas_train_epoch(
 ) -> tuple[TrainState, float]:
     """One full training epoch in a single kernel launch.
 
-    ``data.size`` must be a multiple of ``config.batch_size`` and the
-    batch size a multiple of the tile (pad the dataset with zero rows —
-    they are inert). ``derive_mask=True`` recomputes the mask from
-    ``error > 0`` in-kernel instead of streaming it from HBM (survey-scale
-    memory saver); ``loglam`` (see :func:`make_pallas_epoch_fn`) likewise
-    replaces the zabs plane with a per-spectrum redshift column. Returns
-    (new state, reference-bookkeeping epoch loss).
+    ``data.size`` must be a whole number of per-update batch windows: with
+    a batch size the tile divides that is ``config.batch_size`` itself;
+    otherwise each update spans ``pick_tiling``'s padded ``batch_rows``
+    (e.g. 512 dataset rows per 500-row batch at the reference default) and
+    the dataset must be padded with inert zero rows accordingly —
+    :func:`fit_pallas` does all of this automatically. ``derive_mask=True``
+    recomputes the mask from ``error > 0`` in-kernel instead of streaming
+    it from HBM (survey-scale memory saver); ``loglam`` (see
+    :func:`make_pallas_epoch_fn`) likewise replaces the zabs plane with a
+    per-spectrum redshift column. Returns (new state,
+    reference-bookkeeping epoch loss).
     """
     n = data.size
     b = config.batch_size
-    if n % b:
-        raise ValueError(f"dataset size {n} not a multiple of batch {b}")
-    tb = tile_batch or pick_tile_batch(b, data.delta.shape[1])
-    if b % tb:
-        raise ValueError(f"batch {b} not a multiple of tile {tb}")
+    if tile_batch is None:
+        tb, br = pick_tiling(b, data.delta.shape[1])
+    else:
+        tb = tile_batch
+        br = -(-b // tb) * tb
+    if n % br:
+        raise ValueError(
+            f"dataset size {n} is not a whole number of {br}-row batch "
+            f"windows (batch {b} padded up to the {tb}-row tile) — pad "
+            f"with inert zero rows to a multiple of {br}, or call "
+            "fit_pallas, which pads automatically"
+        )
     epoch_fn = make_pallas_epoch_fn(
-        config, tile_batch=tb, derive_mask=derive_mask, loglam=loglam,
-        n_real=n_real, interpret=interpret,
+        config, tile_batch=tb, batch_rows=br, derive_mask=derive_mask,
+        loglam=loglam, n_real=n_real, interpret=interpret,
     )
     state, loss = epoch_fn(state, data, key)
     return state, float(loss)
@@ -384,8 +450,27 @@ def fit_pallas(
         # than keeping a full (N, P) float32 copy resident
         mask=None if derive_mask else padpix(data.mask),
     )
-    if data.size % config.batch_size:
-        pad = config.batch_size - data.size % config.batch_size
+    # Tile + padded batch-window resolution (once, for every engine below):
+    # batches whose size no sublane-aligned tile divides (e.g. the
+    # reference default 500) span pick_tiling's padded batch_rows, and the
+    # dataset is padded with inert zero rows (weight 0 / fully masked — no
+    # gradient, count, or loss contribution) up to n_batches * batch_rows.
+    ndev = 1 if mesh is None else mesh.devices.size
+    if config.batch_size % ndev:
+        raise ValueError(
+            f"batch size {config.batch_size} not divisible by the "
+            f"{ndev}-device mesh"
+        )
+    b_shard = config.batch_size // ndev  # per-device batch rows (real)
+    if tile_batch is None:
+        tb_used, b_shard_rows = pick_tiling(b_shard, data.delta.shape[1])
+    else:
+        tb_used = tile_batch
+        b_shard_rows = -(-b_shard // tile_batch) * tile_batch
+    batch_rows = b_shard_rows * ndev  # global rows each update spans
+    n_batches = max(-(-n_real // config.batch_size), 1)
+    pad = n_batches * batch_rows - data.size
+    if pad:
         data = ResidualDataset(
             *(
                 None
@@ -442,12 +527,9 @@ def fit_pallas(
         # returns mesh-replicated state, so an unsharded initial state
         # would force a second compile on the second epoch
         state = jax.device_put(state, NamedSharding(mesh, PartitionSpec()))
-        tb_dp = tile_batch or pick_tile_batch(
-            config.batch_size // mesh.devices.size, data.delta.shape[1]
-        )
         dp_epoch_fn = make_epoch_dp_fn(
-            config, mesh, tile_batch=tb_dp, loglam=loglam, n_real=n_real,
-            interpret=interpret,
+            config, mesh, tile_batch=tb_used, batch_rows=batch_rows,
+            loglam=loglam, n_real=n_real, interpret=interpret,
         )
         dp_chunk_fns: dict = {}  # chunk size -> jitted multi-epoch dp fn
 
@@ -455,7 +537,8 @@ def fit_pallas(
             fn = dp_chunk_fns.get(chunk)
             if fn is None:
                 fn = dp_chunk_fns[chunk] = make_epoch_dp_fn(
-                    config, mesh, tile_batch=tb_dp, loglam=loglam,
+                    config, mesh, tile_batch=tb_used,
+                    batch_rows=batch_rows, loglam=loglam,
                     n_real=n_real, epochs_per_launch=chunk,
                     interpret=interpret,
                 )
@@ -470,15 +553,12 @@ def fit_pallas(
 
         def run_epoch(state, sub):
             return pallas_train_epoch(
-                state, data, sub, config, tile_batch=tile_batch,
+                state, data, sub, config, tile_batch=tb_used,
                 derive_mask=derive_mask, loglam=loglam, n_real=n_real,
                 interpret=interpret,
             )
 
     epl = max(1, int(epochs_per_launch))
-    tb_chunk = tile_batch or pick_tile_batch(
-        config.batch_size, data.delta.shape[1]
-    )
 
     epoch = start_epoch
     while epoch < config.n_epochs:
@@ -514,9 +594,9 @@ def fit_pallas(
                 chunk_fn = make_chunk_runner(chunk)
             else:
                 chunk_fn = make_pallas_chunk_fn(
-                    config, n_epochs=chunk, tile_batch=tb_chunk,
-                    derive_mask=derive_mask, loglam=loglam, n_real=n_real,
-                    interpret=interpret,
+                    config, n_epochs=chunk, tile_batch=tb_used,
+                    batch_rows=batch_rows, derive_mask=derive_mask,
+                    loglam=loglam, n_real=n_real, interpret=interpret,
                 )
             # the chunk fns fold the per-epoch subkeys themselves: pass
             # the BASE key so per-epoch shuffles match the unchunked run

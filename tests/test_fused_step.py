@@ -89,11 +89,19 @@ def test_tau_law_abc_matches_physics():
         np.testing.assert_allclose(abc, direct, rtol=1e-6)
 
 
-def test_uneven_tile_rejected(problem):
+def test_uneven_tile_pads_with_inert_rows(problem):
+    """Batches that are not a tile multiple are padded internally with
+    fully-masked rows (r4: any batch size must train — the reference
+    default 500 has no aligned divisor); outputs match the exact-tile run."""
     grid, params, mu, syn = problem
     batch = syn.to_batch(mu)  # 16 rows
-    with pytest.raises(ValueError):
-        fused_loss_grads(params, batch, tile_batch=5, interpret=True)
+    out5 = fused_loss_grads(params, batch, tile_batch=5, interpret=True)
+    out8 = fused_loss_grads(params, batch, tile_batch=8, interpret=True)
+    assert float(out5.loss_sum) == pytest.approx(float(out8.loss_sum),
+                                                 rel=1e-6)
+    np.testing.assert_allclose(np.asarray(out5.grads.Psi),
+                               np.asarray(out8.grads.Psi),
+                               rtol=1e-5, atol=1e-7)
 
 
 def test_pallas_step_fn_matches_xla_step(problem):
