@@ -333,6 +333,117 @@ def build_survey(grid, n, nh, seed=5, dtype=jnp.float32):
     return ResidualDataset(delta=delta, error=error, zabs=zq, mask=None)
 
 
+def run_smoke(full: bool = True) -> dict:
+    """Compile-only Mosaic lowering checks for every Pallas kernel.
+
+    VERDICT r3 weak #2: interpret-mode CI skips Mosaic entirely, so
+    tile/layout constraints only ever surfaced as production compile
+    crashes. This AOT-lowers (``.lower().compile()``, no execution) each
+    kernel at tiny shapes on the real toolchain, plus the misaligned
+    configurations that must now be REJECTED by the trace-time validators
+    (``qfa_tpu.ops.validate``) before Mosaic ever sees them. Returns
+    ``{check: error}`` for failures — empty means all green. ``full``
+    adds the blue/red split-path variants (``python bench.py --smoke``);
+    the default bench run keeps the core four to bound compile time.
+    """
+    import qfa_tpu
+    from qfa_tpu.data.synthetic import generate
+    from qfa_tpu.models import random_init
+    from qfa_tpu.ops import loglam_row, zq_column
+    from qfa_tpu.ops.epoch_kernel import fused_train_epoch
+    from qfa_tpu.ops.fused_step import fused_loss_grads
+    from qfa_tpu.ops.infer_kernel import fused_predict
+
+    fails: dict = {}
+
+    def check(name, fn):
+        stage(f"smoke: {name}")
+        try:
+            fn()
+        except Exception as e:  # noqa: BLE001
+            fails[name] = f"{type(e).__name__}: {str(e)[:160]}"
+
+    def check_rejected(name, fn):
+        stage(f"smoke: {name} (must reject)")
+        try:
+            fn()
+            fails[name] = "validator did not reject"
+        except ValueError:
+            pass  # the trace-time validator fired, as designed
+        except Exception as e:  # noqa: BLE001
+            fails[name] = f"{type(e).__name__}: {str(e)[:160]}"
+
+    def build(lam_max):
+        grid = qfa_tpu.make_grid(1030.0, lam_max, 1e-3)
+        nh = 3
+        params = random_init(jax.random.key(0), grid.npix, grid.nb, nh)
+        mu = jnp.ones((grid.npix,), jnp.float32)
+        syn = generate(jax.random.key(1), params, mu, grid, 16,
+                       mask_frac=0.2)
+        b = syn.to_batch(mu)
+        zeros = jax.tree.map(jnp.zeros_like, params)
+        return grid, params, zeros, mu, syn, b
+
+    grid, params, zeros, mu, syn, b = build(1080.0)  # all-blue tiny grid
+    perm = jnp.arange(2, dtype=jnp.int32)
+    ek = dict(epoch=jnp.asarray(0, jnp.int32), n_batches=2, tile_batch=8)
+
+    check("epoch_plane", lambda: fused_train_epoch.lower(
+        params, zeros, zeros, b.delta, b.error, b.zabs, perm, b.mask, **ek
+    ).compile())
+    check("epoch_derive", lambda: fused_train_epoch.lower(
+        params, zeros, zeros, b.delta * b.mask, b.error * b.mask,
+        zq_column(jnp.asarray(syn.zqso)), perm, None,
+        loglam=loglam_row(grid.wav), derive_zabs=True, **ek
+    ).compile())
+    check("step", lambda: fused_loss_grads.lower(
+        params, b, tile_batch=8
+    ).compile())
+    # tile == N: the lane-major stats block may span the whole spectrum
+    # axis; any other sub-128 tile must be REJECTED (checked below)
+    check("predict_plane", lambda: fused_predict.lower(
+        params, mu, syn.flux * syn.mask, syn.error * syn.mask, syn.zabs,
+        syn.mask, tile_batch=16,
+    ).compile())
+    check_rejected("epoch_tile4_rejected", lambda: fused_train_epoch.lower(
+        params, zeros, zeros, b.delta, b.error, b.zabs,
+        jnp.arange(4, dtype=jnp.int32), b.mask,
+        epoch=jnp.asarray(0, jnp.int32), n_batches=2, tile_batch=4,
+    ).compile())
+    check_rejected("predict_tile4_rejected", lambda: fused_predict.lower(
+        params, mu, syn.flux * syn.mask, syn.error * syn.mask, syn.zabs,
+        syn.mask, tile_batch=4,
+    ).compile())
+    check_rejected("predict_sublane_tile_rejected", lambda:
+                   fused_predict.lower(
+        params, mu, syn.flux * syn.mask, syn.error * syn.mask, syn.zabs,
+        syn.mask, tile_batch=8,  # aligned, but the lane-major stats
+    ).compile())                 # output cannot take a (rows, 8) block
+
+    if full:
+        # blue/red SPLIT path (pb < P): the lane-offset slicing rules are
+        # a distinct Mosaic surface (nonzero-offset broadcasts etc.)
+        grid2, params2, zeros2, mu2, syn2, b2 = build(1400.0)
+        check("epoch_split_derive", lambda: fused_train_epoch.lower(
+            params2, zeros2, zeros2, b2.delta * b2.mask,
+            b2.error * b2.mask, zq_column(jnp.asarray(syn2.zqso)), perm,
+            None, loglam=loglam_row(grid2.wav), derive_zabs=True, **ek
+        ).compile())
+        check("epoch_split_multiepoch", lambda: fused_train_epoch.lower(
+            params2, zeros2, zeros2, b2.delta, b2.error, b2.zabs,
+            jnp.arange(4, dtype=jnp.int32), b2.mask,
+            epoch=jnp.asarray(0, jnp.int32), n_batches=2, tile_batch=8,
+            n_epochs=2,
+        ).compile())
+        check("predict_split_stats_only", lambda: fused_predict.lower(
+            params2, mu2, syn2.flux * syn2.mask, syn2.error * syn2.mask,
+            zq_column(jnp.asarray(syn2.zqso)), None, tile_batch=16,
+            stats_only=True, loglam=loglam_row(grid2.wav),
+            derive_zabs=True,
+        ).compile())
+    return fails
+
+
 def main() -> None:
     import qfa_tpu
     from qfa_tpu.data.loader import batch_indices
@@ -350,6 +461,19 @@ def main() -> None:
     # (transient tunnel congestion, compile hiccup) must not zero the
     # whole artifact — its metrics come back None with the error recorded.
     failures: dict = {}
+
+    # ---- Mosaic lowering smoke (compile-only, tiny shapes): the real-----
+    # hardware check interpret-mode CI cannot perform (VERDICT r3 #2);
+    # `python bench.py --smoke` runs the extended set standalone.
+    smoke_fails: dict = {"smoke_harness": "did not run"}
+    try:
+        smoke_fails = run_smoke(full=False)
+    except Exception as e:  # noqa: BLE001
+        smoke_fails = {
+            "smoke_harness": f"{type(e).__name__}: {str(e)[:160]}"
+        }
+    if smoke_fails:
+        failures["smoke"] = smoke_fails
 
     stage("sdss data")
     params, mu, syn, data, plane = make_problem(grid, nh, n_spectra)
@@ -1146,8 +1270,67 @@ def main() -> None:
     }
     if failures:
         result["extras"]["stage_failures"] = failures
-    print(json.dumps(result))
+
+    # ---- emission: the driver records only a ~2000-char tail of stdout,
+    # which round-3's full dict outgrew (BENCH_r03 parsed: null). The full
+    # record goes to BENCH_DETAILS.json + stderr; stdout carries ONE
+    # compact JSON line with the headline rates, binding fractions and
+    # north-star minutes.
+    import os
+
+    details_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAILS.json"
+    )
+    try:
+        with open(details_path, "w") as fh:
+            json.dump(result, fh, indent=1)
+    except OSError:
+        details_path = None
+    print(json.dumps(result), file=sys.stderr)
+    ex = result["extras"]
+    rl = ex.get("roofline") or {}
+    bh = rl.get("binding_headline_epoch") or {}
+    bs = rl.get("binding_survey_scale") or {}
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": result["unit"],
+        "vs_baseline": result["vs_baseline"],
+        "extras": {
+            "f32": ex.get("f32_train_spectra_per_sec"),
+            "mxu_bf16": ex.get("mxu_bf16_train_spectra_per_sec"),
+            "xla": ex.get("xla_train_spectra_per_sec"),
+            "infer": ex.get("infer_spectra_per_sec"),
+            "ood": ex.get("ood_sweep_spectra_per_sec"),
+            "desi_train": ex.get("desi_train_spectra_per_sec"),
+            "desi_infer": ex.get("desi_infer_spectra_per_sec"),
+            "survey_train": ex.get("survey_train_spectra_per_sec"),
+            "survey_ood": ex.get("survey_ood_spectra_per_sec"),
+            "dp_exact": ex.get("dp_epoch_spectra_per_sec"),
+            "whole_epoch_dp": ex.get("whole_epoch_dp_spectra_per_sec"),
+            "mfu_pct": rl.get("mfu_pct"),
+            "hbm_pct": rl.get("hbm_pct"),
+            "bind_headline_pct": bh.get("binding_pct"),
+            "bind_survey_pct": bs.get("binding_pct"),
+            "northstar_500k_500ep_min": ex.get(
+                "projected_500k_500epoch_minutes"
+            ),
+            "smoke": "ok" if not smoke_fails else sorted(smoke_fails),
+            "failed_stages": sorted(failures) if failures else None,
+            "details": "full record in BENCH_DETAILS.json (+ stderr)",
+        },
+    }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
+    if "--smoke" in sys.argv[1:]:
+        _fails = run_smoke(full=True)
+        print(json.dumps({
+            "metric": "pallas_lowering_smoke",
+            "value": 1 if not _fails else 0,
+            "unit": "ok",
+            "failures": _fails or None,
+        }))
+        sys.exit(1 if _fails else 0)
     main()
