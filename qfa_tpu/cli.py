@@ -91,6 +91,30 @@ def _load_training_data(cfg: ConfigNode, grid):
         output_dir=cfg.DATA.OUTPUT_DIR,
         prefix="train",
     )
+    # Strict reference workflow parity (DATA.VALIDATION_CONCAT_COMPAT):
+    # the reference loader CONCATENATES the validation spectra into the
+    # training arrays before mu estimation — trained on, never evaluated
+    # (/root/reference/QFA/dataloader.py:81-85). Default: held out below.
+    concat_compat = (
+        cfg.DATA.VALIDATION_CONCAT_COMPAT
+        and cfg.DATA.VALIDATION
+        and os.path.exists(cfg.DATA.VALIDATION_CATALOG)
+        and os.path.exists(cfg.DATA.VALIDATION_DIR)
+    )
+    if concat_compat:
+        paths = list(paths) + list(select_from_catalog(
+            cfg.DATA.VALIDATION_CATALOG,
+            cfg.DATA.VALIDATION_DIR,
+            cfg.DATA.VALIDATION_NUM,
+            snr_min=cfg.DATA.SNR_MIN,
+            snr_max=cfg.DATA.SNR_MAX,
+            z_min=cfg.DATA.Z_MIN,
+            z_max=cfg.DATA.Z_MAX,
+            num_mask=cfg.DATA.NUM_MASK,
+            seed=cfg.SEED + 1,
+            output_dir=cfg.DATA.OUTPUT_DIR,
+            prefix="validation",
+        ))
     dataset = SpectraDataset.from_paths(paths, max_workers=cfg.DATA.NPROCS)
     from .data.loader import compute_taus
 
@@ -105,10 +129,12 @@ def _load_training_data(cfg: ConfigNode, grid):
     del taus
 
     # Held-out validation (the reference concatenates these spectra into the
-    # training arrays, /root/reference/QFA/dataloader.py:81-85; here they are
-    # evaluated, never trained on).
+    # training arrays, /root/reference/QFA/dataloader.py:81-85 — reproduced
+    # above under DATA.VALIDATION_CONCAT_COMPAT; here they are evaluated,
+    # never trained on).
     val_residuals = None
-    if cfg.DATA.VALIDATION and os.path.exists(cfg.DATA.VALIDATION_CATALOG):
+    if (not concat_compat and cfg.DATA.VALIDATION
+            and os.path.exists(cfg.DATA.VALIDATION_CATALOG)):
         val_paths = select_from_catalog(
             cfg.DATA.VALIDATION_CATALOG,
             cfg.DATA.VALIDATION_DIR,

@@ -61,12 +61,22 @@ def step_scheduler(alpha: float, step: int) -> _StepScheduler:
 
 
 class Adam:
-    """Reference-API optimizer shim (``/root/reference/QFA/optimizer.py:11``).
+    """Reference-API optimizer (``/root/reference/QFA/optimizer.py:11-76``).
 
-    Holds the hyper-parameters for :meth:`QFA.train`; the actual update runs
-    inside the jit-compiled functional trainer (``qfa_tpu.train.adam``),
-    which reproduces the reference semantics (weight decay folded into
-    grads, per-epoch bias correction, step-decay schedule).
+    Full drop-in: ``update(params, g)`` / ``reset(params)`` / ``step()`` /
+    ``scheduled_lr`` match the reference's hand-rolled Adam exactly (L2
+    weight decay folded into the gradient before the moment updates,
+    per-call bias correction from the per-EPOCH counter ``i``), so the
+    reference's own training-loop idiom — ``self.parameters =
+    optimizer.update(self.parameters, grads); optimizer.step()``
+    (``/root/reference/QFA/model.py:207-215``) — runs verbatim against
+    this facade (tests/test_compat.py). When passed to :meth:`QFA.train`,
+    the same numerics run fused inside the jit-compiled trainer
+    (``qfa_tpu.train.adam.apply_update``) instead of per-call.
+
+    Moments initialize lazily on the first :meth:`update` when ``params``
+    is not given at construction (the reference requires it; here it stays
+    optional for the hyper-holder use with :meth:`QFA.train`).
     """
 
     def __init__(
@@ -87,6 +97,63 @@ class Adam:
         self.device = device
         self.weight_decay = weight_decay
         self.scheduler = scheduler
+        self.m: Dict[str, jnp.ndarray] | None = None
+        self.v: Dict[str, jnp.ndarray] | None = None
+        if params is not None:
+            self.reset(params)
+        self.i = 0
+
+    def update(
+        self, params: Dict[str, jnp.ndarray], g: Dict[str, jnp.ndarray]
+    ) -> Dict[str, jnp.ndarray]:
+        """One Adam step over a dict of arrays; returns the updated dict.
+
+        Reference semantics (``/root/reference/QFA/optimizer.py:37-52``):
+        ``g += wd * p``; moment EMAs; bias correction with the per-epoch
+        counter ``i`` (advanced only by :meth:`step`); the schedule applies
+        through :attr:`scheduled_lr`. Identical numerics to the functional
+        ``train.adam.apply_update`` (asserted in tests).
+        """
+        if self.m is None:
+            # lazy moment init (constructor got no params); unlike
+            # reset(), the counter i is left as the caller set it
+            self.m = {
+                k: jnp.zeros_like(jnp.asarray(params[k], jnp.float32))
+                for k in params
+            }
+            self.v = {
+                k: jnp.zeros_like(jnp.asarray(params[k], jnp.float32))
+                for k in params
+            }
+        g = {k: jnp.asarray(g[k], jnp.float32) for k in g}
+        p32 = {k: jnp.asarray(params[k], jnp.float32) for k in g}
+        g = {k: g[k] + self.weight_decay * p32[k] for k in g}
+        self.m = {
+            k: (1.0 - self.b1) * g[k] + self.b1 * self.m[k] for k in g
+        }
+        self.v = {
+            k: (1.0 - self.b2) * g[k] * g[k] + self.b2 * self.v[k] for k in g
+        }
+        bc1 = 1.0 - self.b1 ** (self.i + 1)
+        bc2 = 1.0 - self.b2 ** (self.i + 1)
+        lr = self.scheduled_lr
+        return {
+            k: p32[k] - lr * (self.m[k] / bc1)
+            / (jnp.sqrt(self.v[k] / bc2) + self.eps)
+            for k in params
+        }
+
+    def reset(self, params: Dict[str, jnp.ndarray]) -> None:
+        """Zero the moments and the counter
+        (``/root/reference/QFA/optimizer.py:54-63``)."""
+        self.m = {
+            k: jnp.zeros_like(jnp.asarray(params[k], jnp.float32))
+            for k in params
+        }
+        self.v = {
+            k: jnp.zeros_like(jnp.asarray(params[k], jnp.float32))
+            for k in params
+        }
         self.i = 0
 
     def step(self) -> None:
@@ -377,6 +444,29 @@ class Dataloader:
                 output_dir=config.DATA.OUTPUT_DIR or None,
                 prefix="train",
             )
+            # reference loader behavior: VALIDATION spectra are
+            # CONCATENATED into the training arrays (trained on, and they
+            # shape the mu estimate — /root/reference/QFA/dataloader.py:
+            # 81-85), reproduced under DATA.VALIDATION_CONCAT_COMPAT
+            import os
+
+            if (getattr(config.DATA, "VALIDATION_CONCAT_COMPAT", False)
+                    and config.DATA.VALIDATION
+                    and os.path.exists(config.DATA.VALIDATION_CATALOG)
+                    and os.path.exists(config.DATA.VALIDATION_DIR)):
+                paths = list(paths) + list(select_from_catalog(
+                    config.DATA.VALIDATION_CATALOG,
+                    config.DATA.VALIDATION_DIR,
+                    config.DATA.VALIDATION_NUM,
+                    snr_min=config.DATA.SNR_MIN,
+                    snr_max=config.DATA.SNR_MAX,
+                    z_min=config.DATA.Z_MIN,
+                    z_max=config.DATA.Z_MAX,
+                    num_mask=config.DATA.NUM_MASK,
+                    seed=seed + 1,
+                    output_dir=config.DATA.OUTPUT_DIR or None,
+                    prefix="validation",
+                ))
         elif self.type == "predict":
             import pandas as pd
             import os

