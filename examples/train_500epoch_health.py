@@ -60,10 +60,14 @@ def main(argv=None):
     # smooth_interval must NOT divide n_epochs: the periodic avg-pool smoothing
     # (reference semantics) otherwise lands on the FINAL epoch and the returned
     # params are freshly pooled with no recovery epochs (~10 epochs re-converge
-    # after each smooth).
+    # after each smooth). --epochs is user-settable, so derive an interval
+    # that never divides it (33 unless args.epochs is a 33-multiple).
+    smooth_interval = 33
+    while args.epochs and args.epochs % smooth_interval == 0:
+        smooth_interval += 1
     cfg = TrainConfig(n_epochs=args.epochs, batch_size=args.batch_size,
                       learning_rate=1e-2, weight_decay=0.0, decay_alpha=1.0,
-                      smooth_interval=33, save_interval=10**9,
+                      smooth_interval=smooth_interval, save_interval=10**9,
                       stop_on_negative_loss=True)
     p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
     t0 = time.perf_counter()

@@ -17,7 +17,16 @@ import pytest
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 EXAMPLES = sorted(glob.glob(os.path.join(ROOT, "examples", "*.py")))
-ENV = {**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": ROOT}
+# prepend (not replace) ROOT: dropping the existing PYTHONPATH would lose
+# /root/.axon_site, which a future non-CPU subprocess test would need
+ENV = {
+    **os.environ,
+    "JAX_PLATFORMS": "cpu",
+    "PYTHONPATH": os.pathsep.join(
+        [ROOT] + ([os.environ["PYTHONPATH"]]
+                  if os.environ.get("PYTHONPATH") else [])
+    ),
+}
 
 REF_MODEL = "/root/reference/data/model_parameters.npz"
 REF_SPEC = "/root/reference/data/spec-4321-55504-0114.npz"
