@@ -107,6 +107,66 @@ def test_correct_c0_changes_likelihood(golden):
 
 
 @requires_reference
+def test_golden_uncertainty_matches_reference_formula(golden):
+    """``continuum_std`` equals the reference's shipped uncertainty code.
+
+    The stored golden ``our_uncertainty`` array CANNOT be reproduced by the
+    reference's own prediction path: an independent float64 numpy
+    reimplementation of ``/root/reference/QFA/model.py:160-180``
+    (masked/absorption-scaled F, ``omega_func`` z-evolution, full-F
+    projection ``sqrt(diag(F hcov F^T))``) matches our ``continuum_std`` to
+    ~1e-6 relative but differs from the stored artifact by a NON-CONSTANT
+    factor (measured ratio 7-440x, mean ~100) — the artifact predates the
+    shipped code. So the uncertainty contract is pinned against the
+    reference's *code*, and the stored array's divergence is itself pinned
+    so a change in either side is caught (SURVEY.md section 6 triage).
+    """
+    spec, params, mu, flux, error, zabs, mask = golden
+    from qfa_tpu.physics.tau import tau, tau_hi
+
+    nb = np.asarray(zabs).shape[-1]
+    mask_np = np.asarray(mask[0])
+    mz = mask_np[:nb]
+    nr_m = int(mask_np[nb:].sum())
+    mzabs = np.asarray(zabs[0])[mz]
+    F = np.asarray(params.F, np.float64)
+    Psi = np.asarray(params.Psi, np.float64)
+    omega = np.asarray(params.omega, np.float64)
+    tau0, beta, c0 = (
+        float(params.tau0), float(params.beta), float(params.c0)
+    )
+    # reference model.py:165 — A = [exp(-tau(zabs)), ones(red)]
+    t_lya = np.asarray(tau(jnp.asarray(mzabs)), np.float64)
+    amp = np.concatenate([np.exp(-t_lya), np.ones(nr_m)])
+    f_masked = amp[:, None] * F[mask_np]
+    # model.py:169-172 — diag = A Psi A + omega*omega_func(z) + error^2
+    thi = np.asarray(
+        tau_hi(jnp.asarray(mzabs), jnp.asarray(tau0), jnp.asarray(beta)),
+        np.float64,
+    )
+    zdep = (1.0 - c0 - np.exp(-thi)) ** 2
+    om = np.concatenate([omega[mz] * zdep, np.zeros(nr_m)])
+    diag = (
+        amp * Psi[mask_np] * amp
+        + om
+        + np.asarray(error[0])[mask_np].astype(np.float64) ** 2
+    )
+    # model.py:178-180 — hcov = inv(I + F^T Sigma_e F); unc on FULL F
+    hcov = np.linalg.inv(
+        np.eye(F.shape[1]) + f_masked.T @ ((1.0 / diag)[:, None] * f_masked)
+    )
+    unc = np.sqrt(np.einsum("ij,jk,ik->i", F, hcov, F))
+
+    res = predict(params, mu, flux, error, zabs, mask)
+    ours = np.asarray(res.continuum_std[0], np.float64)
+    np.testing.assert_allclose(ours, unc, rtol=5e-5)
+
+    # the stored artifact is NOT the shipped code's output (triage pin)
+    ratio = unc / np.asarray(spec["our_uncertainty"], np.float64)
+    assert ratio.min() > 5.0 and ratio.std() > 10.0
+
+
+@requires_reference
 def test_batched_prediction_consistent(golden):
     """Batching spectra together must not change per-spectrum results."""
     spec, params, mu, flux, error, zabs, mask = golden
