@@ -266,12 +266,22 @@ def run_train(cfg: ConfigNode) -> None:
                 "falling back to the XLA trainer"
             )
     if use_pallas:
-        logger.info(
-            "trainer engine: fused whole-epoch Pallas kernel%s",
-            "" if mesh is None else
-            f" (multi-chip local SGD over {mesh.devices.size} devices; "
-            "set TRAIN.ENGINE=xla for exact per-step DP)",
-        )
+        if mesh is None:
+            mode = ""
+        elif cfg.TRAIN.DP_EXACT:
+            mode = (
+                f" (exact DP at launch cadence over {mesh.devices.size} "
+                f"devices, {cfg.TRAIN.BATCHES_PER_LAUNCH} batch(es) per "
+                "launch; parallel/sync_dp.py)"
+            )
+        else:
+            mode = (
+                f" (multi-chip local SGD over {mesh.devices.size} devices; "
+                "set TRAIN.DP_EXACT for trajectory-exact DP at launch "
+                "cadence, or TRAIN.ENGINE=xla for per-step DP)"
+            )
+        logger.info("trainer engine: fused whole-epoch Pallas kernel%s",
+                    mode)
     train_cfg = TrainConfig(
         n_epochs=cfg.TRAIN.NEPOCHS,
         batch_size=cfg.DATA.BATCH_SIZE,
@@ -331,16 +341,30 @@ def run_train(cfg: ConfigNode) -> None:
                 logger.info(
                     "resident layout: in-kernel mask + zq-column redshifts"
                 )
+            if mesh is not None and cfg.TRAIN.DP_EXACT:
+                pallas_kwargs["dp_exact"] = True
+                pallas_kwargs["batches_per_launch"] = (
+                    cfg.TRAIN.BATCHES_PER_LAUNCH
+                )
             if cfg.TRAIN.EPOCHS_PER_LAUNCH > 1:
-                pallas_kwargs["epochs_per_launch"] = (
-                    cfg.TRAIN.EPOCHS_PER_LAUNCH
-                )
-                logger.info(
-                    "launch fusion: up to %d epochs per kernel launch%s",
-                    cfg.TRAIN.EPOCHS_PER_LAUNCH,
-                    "" if mesh is None else
-                    " (mesh replicas average once per chunk)",
-                )
+                if pallas_kwargs.get("dp_exact"):
+                    logger.warning(
+                        "TRAIN.EPOCHS_PER_LAUNCH=%d ignored: exact-DP "
+                        "windows are sub-epoch (TRAIN.BATCHES_PER_LAUNCH "
+                        "amortizes launches instead)",
+                        cfg.TRAIN.EPOCHS_PER_LAUNCH,
+                    )
+                else:
+                    pallas_kwargs["epochs_per_launch"] = (
+                        cfg.TRAIN.EPOCHS_PER_LAUNCH
+                    )
+                    logger.info(
+                        "launch fusion: up to %d epochs per kernel "
+                        "launch%s",
+                        cfg.TRAIN.EPOCHS_PER_LAUNCH,
+                        "" if mesh is None else
+                        " (mesh replicas average once per chunk)",
+                    )
             params, history = fit_pallas(
                 params, residuals, mu, train_cfg, val_data=val_residuals,
                 mesh=mesh, **pallas_kwargs, **fit_kwargs,

@@ -3,6 +3,7 @@
 from .dp import dp_train_epoch, make_dp_epoch_fn, shard_dataset, shard_epoch_indices
 from .epoch_dp import epoch_dp_train_epoch, make_epoch_dp_fn
 from .infer_dp import fused_predict_dp, make_dp_predict_fn
+from .sync_dp import make_sync_dp_epoch_fn, sync_dp_train_epoch
 from .mesh import (
     data_sharding,
     initialize_distributed,
@@ -19,6 +20,8 @@ __all__ = [
     "make_dp_epoch_fn",
     "make_dp_predict_fn",
     "make_epoch_dp_fn",
+    "make_sync_dp_epoch_fn",
+    "sync_dp_train_epoch",
     "shard_dataset",
     "shard_epoch_indices",
     "data_sharding",
