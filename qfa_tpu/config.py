@@ -194,9 +194,12 @@ def default_config() -> ConfigNode:
                 #: Pallas engine: run the heavy in-kernel contractions as
                 #: bfloat16 MXU passes with f32 accumulation (~20% faster
                 #: headline epochs on v5e; loss trajectory drifts ~5e-7
-                #: relative over tens of epochs). The default False keeps
-                #: the engine loss-curve-parity with the XLA/f32 path.
-                "MXU_BF16": False,
+                #: relative over tens of epochs at production scale —
+                #: gated by bench.py's paired drift check and the
+                #: interpret-mode trajectory tests). Default ON: the speed
+                #: mode is the production trainer. Set false for bitwise
+                #: f32 loss-curve parity with the XLA path.
+                "MXU_BF16": True,
                 #: Pallas engine: epochs fused into ONE kernel launch
                 #: (amortizes the fixed dispatch cost, ~+9% epoch rate on
                 #: v5e at 5). Chunks auto-align to every smoothing/saving
@@ -207,6 +210,22 @@ def default_config() -> ConfigNode:
                 #: sync every N epochs — N x less ICI traffic, drifting
                 #: trajectory). 1 = reference-exact cadence.
                 "EPOCHS_PER_LAUNCH": 1,
+                #: multi-device mesh: run trajectory-EXACT data
+                #: parallelism at kernel-launch cadence
+                #: (parallel/sync_dp.py) instead of the local-SGD
+                #: whole-epoch engine — every optimizer step consumes the
+                #: globally psum'd gradient (measured ~1.2x the plain
+                #: whole-epoch engine on one device, vs ~8-12x for the
+                #: per-batch TRAIN.ENGINE=xla DP cadence). No effect
+                #: without a mesh. Incompatible with EPOCHS_PER_LAUNCH>1.
+                "DP_EXACT": False,
+                #: with DP_EXACT: batches per kernel launch. 1 = one
+                #: launch + one fused psum per optimizer step (fully
+                #: exact on any mesh); K>1 = interior batches update
+                #: locally and replicas re-sync every K batches (still
+                #: exact on one device; local-SGD drift within windows on
+                #: a real mesh).
+                "BATCHES_PER_LAUNCH": 1,
             },
             # TPU-native extensions
             "MESH": {

@@ -876,6 +876,34 @@ def test_mxu_bf16_mode_close_to_f32(problem):
         np.testing.assert_allclose(a, b, rtol=0.05, atol=5e-3, err_msg=name)
 
 
+def test_mxu_bf16_trajectory_drift_gate(problem):
+    """Default-ON parity gate: at the production learning rate (1e-3) a
+    10-epoch chained bf16 trajectory tracks the identically-keyed f32 run
+    within 1e-4 relative per-epoch loss on this tiny interpret-mode
+    problem (measured ~4e-5 peak here; the production-scale bound is
+    1e-5, enforced on real hardware every bench run — bench.py's
+    ``mxu_bf16_drift_rel_55ep`` gate — where it measures ~5e-7)."""
+    from qfa_tpu.train.pallas_engine import make_pallas_epoch_fn
+
+    grid, nh, data = problem
+    p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+    curves = {}
+    for flag in (False, True):
+        cfg = TrainConfig(batch_size=32, learning_rate=1e-3,
+                          mxu_bf16=flag)
+        fn = make_pallas_epoch_fn(cfg, tile_batch=8, interpret=True)
+        st = TrainState(p0, adam.init(p0))
+        curve = []
+        for e in range(10):
+            st, loss = fn(st, data, jax.random.fold_in(jax.random.key(7),
+                                                       e))
+            curve.append(float(loss))
+        curves[flag] = np.asarray(curve, np.float64)
+    rel = np.abs(curves[True] - curves[False]) / np.abs(curves[False])
+    assert (curves[True] != curves[False]).any()  # bf16 casts are live
+    assert rel.max() < 1e-4, f"per-epoch rel drift {rel}"
+
+
 def test_mxu_bf16_flows_from_train_config(problem):
     """TrainConfig.mxu_bf16 reaches the Pallas engine (the config is part
     of the epoch-fn cache key, so both modes coexist in one process)."""

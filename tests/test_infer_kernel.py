@@ -235,9 +235,12 @@ def test_fused_predict_stats_only(problem):
 
 def test_fused_predict_desi_width_auto_tile():
     """DESI-scale fused inference (VERDICT r2 #2): the npix-aware tile
-    heuristic picks a VMEM-safe 64-row tile at Npix=9243 (a fixed 256
-    fails to compile at that width on hardware), and the chunked driver
-    matches the XLA predict path on the real DESI grid."""
+    heuristic picks a VMEM-safe 128-row tile at Npix=9243 (a fixed 256
+    fails to compile at that width on hardware; sub-128 tiles cannot
+    lower at all — the lane-major stats output needs a 128-multiple
+    minor block, so 128 is the floor for arbitrarily wide grids too),
+    and the chunked driver matches the XLA predict path on the real
+    DESI grid."""
     from qfa_tpu.data.loader import SpectraDataset
     from qfa_tpu.infer import predict_dataset, predict_dataset_fused
     from qfa_tpu.ops.infer_kernel import default_tile_batch
@@ -246,7 +249,7 @@ def test_fused_predict_desi_width_auto_tile():
     assert grid.npix == 9243
     assert default_tile_batch(grid.npix) == 128
     assert default_tile_batch(1913) == 256
-    assert default_tile_batch(16000) == 64
+    assert default_tile_batch(16000) == 128  # the lowering floor
 
     nh = 4
     params = random_init(jax.random.key(0), grid.npix, grid.nb, nh)
