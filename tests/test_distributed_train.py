@@ -141,9 +141,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def test_two_process_dp_epoch_matches_single_device():
-    """Two real processes run the production DP epoch; the replicated
-    result must match the single-device epoch on the same global batches."""
+def _run_two_process(worker_src: str) -> list[tuple[float, ...]]:
+    """Spawn two single-CPU-device worker processes, collect their
+    ``RESULT ...`` lines, and assert both replicas agree."""
     here = os.path.dirname(os.path.abspath(__file__))
     root = os.path.dirname(here)
     addr = f"127.0.0.1:{_free_port()}"
@@ -162,7 +162,7 @@ def test_two_process_dp_epoch_matches_single_device():
     mesh_py = os.path.join(root, "qfa_tpu", "parallel", "mesh.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WORKER, addr, str(pid), mesh_py],
+            [sys.executable, "-c", worker_src, addr, str(pid), mesh_py],
             stdout=subprocess.PIPE,
             stderr=subprocess.STDOUT,
             env=env,
@@ -182,6 +182,13 @@ def test_two_process_dp_epoch_matches_single_device():
     assert len(results) == 2
     # both processes hold the same replicated result
     np.testing.assert_allclose(results[0], results[1], rtol=1e-6)
+    return results
+
+
+def test_two_process_dp_epoch_matches_single_device():
+    """Two real processes run the production DP epoch; the replicated
+    result must match the single-device epoch on the same global batches."""
+    results = _run_two_process(_WORKER)
 
     # single-device reference on the same global batch composition:
     # device d's local row i is global row d*shard + i
@@ -206,3 +213,86 @@ def test_two_process_dp_epoch_matches_single_device():
 
     assert results[0][0] == pytest.approx(float(loss), rel=1e-4)
     assert results[0][1] == pytest.approx(fsum, rel=1e-4)
+
+
+_WORKER_SYNC = r"""
+import importlib.util, os, sys
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+_spec = importlib.util.spec_from_file_location("qfa_mesh", sys.argv[3])
+qfa_mesh = importlib.util.module_from_spec(_spec)
+_spec.loader.exec_module(qfa_mesh)
+qfa_mesh.initialize_distributed(
+    coordinator_address=sys.argv[1],
+    num_processes=2,
+    process_id=int(sys.argv[2]),
+)
+
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from test_distributed_train import BS, LR, WD, build_data_np, \
+    build_state_np
+
+from qfa_tpu.data.loader import ResidualDataset
+from qfa_tpu.parallel import make_sync_dp_epoch_fn
+from qfa_tpu.train import TrainConfig
+
+mesh = qfa_mesh.make_mesh()
+assert mesh.devices.size == 2
+
+
+def put(x, spec):
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+leaves = build_data_np()
+data = ResidualDataset(
+    **{k: put(v, P("data", None)) for k, v in leaves.items()}
+)
+state = jax.tree.map(lambda x: put(x, P()), build_state_np())
+cfg = TrainConfig(batch_size=BS, learning_rate=LR, weight_decay=WD)
+fn = make_sync_dp_epoch_fn(cfg, mesh, tile_batch=8, interpret=True)
+state, loss = fn(state, data, jax.random.key(7))
+fsum = float(np.abs(np.asarray(jax.device_get(state.params.F))).sum())
+print(f"RESULT {float(loss):.9e} {fsum:.9e}", flush=True)
+jax.distributed.shutdown()
+"""
+
+
+def test_two_process_sync_dp_matches_virtual_mesh():
+    """Two real processes run the exact-DP launch-cadence engine
+    (parallel.sync_dp, K=1): every optimizer step consumes the
+    cross-PROCESS psum'd gradient. The replicated result must equal the
+    same engine on a single-process virtual 2-device mesh — shard_map
+    semantics make the two programs identical, so this pins the real
+    coordination-service collective against the in-process reference."""
+    results = _run_two_process(_WORKER_SYNC)
+
+    import jax
+    import jax.numpy as jnp
+
+    from qfa_tpu.data.loader import ResidualDataset
+    from qfa_tpu.parallel import (
+        make_mesh,
+        make_sync_dp_epoch_fn,
+        shard_dataset,
+    )
+    from qfa_tpu.train import TrainConfig
+
+    mesh = make_mesh(2)
+    leaves = build_data_np()
+    data = shard_dataset(
+        ResidualDataset(**{k: jnp.asarray(v) for k, v in leaves.items()}),
+        mesh,
+    )
+    state = jax.tree.map(jnp.asarray, build_state_np())
+    cfg = TrainConfig(batch_size=BS, learning_rate=LR, weight_decay=WD)
+    fn = make_sync_dp_epoch_fn(cfg, mesh, tile_batch=8, interpret=True)
+    state, loss = fn(state, data, jax.random.key(7))
+    fsum = float(np.abs(np.asarray(state.params.F)).sum())
+
+    assert results[0][0] == pytest.approx(float(loss), rel=1e-5)
+    assert results[0][1] == pytest.approx(fsum, rel=1e-5)
