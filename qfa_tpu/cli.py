@@ -76,6 +76,7 @@ def _load_training_data(cfg: ConfigNode, grid):
         estimate_mu,
         make_residuals,
         select_from_catalog,
+        validation_concat_paths,
     )
 
     paths = select_from_catalog(
@@ -95,26 +96,13 @@ def _load_training_data(cfg: ConfigNode, grid):
     # the reference loader CONCATENATES the validation spectra into the
     # training arrays before mu estimation — trained on, never evaluated
     # (/root/reference/QFA/dataloader.py:81-85). Default: held out below.
-    concat_compat = (
-        cfg.DATA.VALIDATION_CONCAT_COMPAT
-        and cfg.DATA.VALIDATION
-        and os.path.exists(cfg.DATA.VALIDATION_CATALOG)
-        and os.path.exists(cfg.DATA.VALIDATION_DIR)
+    # Missing validation files under the flag RAISE (parity, not fallback).
+    extra = validation_concat_paths(
+        cfg.DATA, cfg.SEED, output_dir=cfg.DATA.OUTPUT_DIR
     )
+    concat_compat = extra is not None
     if concat_compat:
-        paths = list(paths) + list(select_from_catalog(
-            cfg.DATA.VALIDATION_CATALOG,
-            cfg.DATA.VALIDATION_DIR,
-            cfg.DATA.VALIDATION_NUM,
-            snr_min=cfg.DATA.SNR_MIN,
-            snr_max=cfg.DATA.SNR_MAX,
-            z_min=cfg.DATA.Z_MIN,
-            z_max=cfg.DATA.Z_MAX,
-            num_mask=cfg.DATA.NUM_MASK,
-            seed=cfg.SEED + 1,
-            output_dir=cfg.DATA.OUTPUT_DIR,
-            prefix="validation",
-        ))
+        paths = list(paths) + extra
     dataset = SpectraDataset.from_paths(paths, max_workers=cfg.DATA.NPROCS)
     from .data.loader import compute_taus
 

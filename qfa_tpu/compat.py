@@ -448,25 +448,14 @@ class Dataloader:
             # CONCATENATED into the training arrays (trained on, and they
             # shape the mu estimate — /root/reference/QFA/dataloader.py:
             # 81-85), reproduced under DATA.VALIDATION_CONCAT_COMPAT
-            import os
+            from .data.loader import validation_concat_paths
 
-            if (getattr(config.DATA, "VALIDATION_CONCAT_COMPAT", False)
-                    and config.DATA.VALIDATION
-                    and os.path.exists(config.DATA.VALIDATION_CATALOG)
-                    and os.path.exists(config.DATA.VALIDATION_DIR)):
-                paths = list(paths) + list(select_from_catalog(
-                    config.DATA.VALIDATION_CATALOG,
-                    config.DATA.VALIDATION_DIR,
-                    config.DATA.VALIDATION_NUM,
-                    snr_min=config.DATA.SNR_MIN,
-                    snr_max=config.DATA.SNR_MAX,
-                    z_min=config.DATA.Z_MIN,
-                    z_max=config.DATA.Z_MAX,
-                    num_mask=config.DATA.NUM_MASK,
-                    seed=seed + 1,
-                    output_dir=config.DATA.OUTPUT_DIR or None,
-                    prefix="validation",
-                ))
+            extra = validation_concat_paths(
+                config.DATA, seed,
+                output_dir=config.DATA.OUTPUT_DIR or None,
+            )
+            if extra is not None:
+                paths = list(paths) + extra
         elif self.type == "predict":
             import pandas as pd
             import os

@@ -45,6 +45,7 @@ __all__ = [
     "read_spectrum",
     "read_spectra",
     "select_from_catalog",
+    "validation_concat_paths",
     "compute_taus",
     "estimate_mu",
     "make_residuals",
@@ -169,6 +170,50 @@ def select_from_catalog(
             index=False,
         )
     return [os.path.join(data_dir, f) for f in files]
+
+
+def validation_concat_paths(
+    data_cfg, seed: int, *, output_dir: str | None = None
+) -> list[str] | None:
+    """Reference-parity training-set composition under
+    ``DATA.VALIDATION_CONCAT_COMPAT``: the extra validation paths to
+    concatenate into the training list, or ``None`` when the compat
+    behavior is off.
+
+    The reference loader concatenates the validation spectra into the
+    training arrays before mu estimation — trained on, never evaluated
+    (``/root/reference/QFA/dataloader.py:81-85``). When the flag is ON but
+    the validation catalog or directory is missing this RAISES instead of
+    silently degrading to the held-out composition: the flag's whole
+    purpose is exact parity, and the reference itself would crash on the
+    missing file.
+    """
+    if not (getattr(data_cfg, "VALIDATION_CONCAT_COMPAT", False)
+            and getattr(data_cfg, "VALIDATION", False)):
+        return None
+    for what, path in (("catalog", data_cfg.VALIDATION_CATALOG),
+                       ("directory", data_cfg.VALIDATION_DIR)):
+        if not path or not os.path.exists(path):
+            raise FileNotFoundError(
+                "DATA.VALIDATION_CONCAT_COMPAT is on but the validation "
+                f"{what} {path!r} does not exist — refusing to silently "
+                "fall back to the held-out composition (the flag requests "
+                "the reference's exact training-set composition, "
+                "/root/reference/QFA/dataloader.py:81-85)"
+            )
+    return list(select_from_catalog(
+        data_cfg.VALIDATION_CATALOG,
+        data_cfg.VALIDATION_DIR,
+        data_cfg.VALIDATION_NUM,
+        snr_min=data_cfg.SNR_MIN,
+        snr_max=data_cfg.SNR_MAX,
+        z_min=data_cfg.Z_MIN,
+        z_max=data_cfg.Z_MAX,
+        num_mask=data_cfg.NUM_MASK,
+        seed=seed + 1,
+        output_dir=output_dir,
+        prefix="validation",
+    ))
 
 
 class SpectraDataset(NamedTuple):

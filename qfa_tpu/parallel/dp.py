@@ -245,24 +245,16 @@ def make_dp_epoch_fn(
         out_specs=(rep, rep),
         check_vma=False,
     )
-    # Place inputs before the jit sees them (cf. sync_dp: a first call
-    # traced with a default-device state degrades chained epochs ~100x on
-    # the tunneled TPU; device_put is a no-op once placed, so donation of
-    # the state buffers is unaffected).
-    from jax.sharding import NamedSharding
+    # Place inputs before the jit sees them (rationale in
+    # mesh.jit_with_placed_inputs: an unplaced first trace degrades
+    # chained epochs ~100x on the tunneled TPU).
+    from .mesh import jit_with_placed_inputs
 
-    jitted = jax.jit(sharded, donate_argnums=(0,))
-    rep_sh = NamedSharding(mesh, P())
-    data_sh = NamedSharding(mesh, P(axis, None))
-    ei_sh = NamedSharding(mesh, P(axis, None, None))
-
-    def placed(state, data, ei):
-        state = jax.device_put(state, rep_sh)
-        data = jax.device_put(data, data_sh)
-        ei = jax.device_put(ei, ei_sh)
-        return jitted(state, data, ei)
-
-    return placed
+    return jit_with_placed_inputs(
+        sharded, mesh,
+        (P(), P(axis, None), P(axis, None, None)),
+        donate_argnums=(0,),
+    )
 
 
 def dp_train_epoch(

@@ -241,21 +241,14 @@ def make_epoch_dp_fn(
         out_specs=(rep, rep),
         check_vma=False,
     )
-    # Place inputs before the jit sees them (cf. sync_dp: a first call
-    # traced with a default-device state degrades every chained epoch
-    # ~100x on the tunneled TPU; device_put is a no-op once placed).
-    from jax.sharding import NamedSharding
+    # Place inputs before the jit sees them (rationale in
+    # mesh.jit_with_placed_inputs: an unplaced first trace degrades
+    # chained epochs ~100x on the tunneled TPU). The key stays unplaced.
+    from .mesh import jit_with_placed_inputs
 
-    jitted = jax.jit(sharded)
-    rep_sh = NamedSharding(mesh, P())
-    data_sh = NamedSharding(mesh, P(axis, None))
-
-    def placed(state, data, key):
-        state = jax.device_put(state, rep_sh)
-        data = jax.device_put(data, data_sh)
-        return jitted(state, data, key)
-
-    return placed
+    return jit_with_placed_inputs(
+        sharded, mesh, (P(), P(axis, None), None)
+    )
 
 
 def epoch_dp_train_epoch(

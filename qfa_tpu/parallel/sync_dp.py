@@ -298,25 +298,14 @@ def make_sync_dp_epoch_fn(
         out_specs=(rep, rep),
         check_vma=False,
     )
-    # Place the inputs BEFORE the jit sees them: tracing the first epoch
-    # with a default-device state makes EVERY chained epoch ~100x slower
-    # on the tunneled TPU (measured 1.1-1.5 s vs 12-17 ms — the compiled
-    # program's input layouts then mismatch the resident data and the
-    # planes re-stage every call; jit in_shardings alone does NOT avoid
-    # it). device_put is a no-op when the leaves already carry the right
-    # sharding, so steady-state cost is a tree traversal.
-    from jax.sharding import NamedSharding
+    # Place the inputs BEFORE the jit sees them (rationale in
+    # mesh.jit_with_placed_inputs: an unplaced first trace degrades every
+    # chained epoch ~100x on the tunneled TPU). The key stays unplaced.
+    from .mesh import jit_with_placed_inputs
 
-    jitted = jax.jit(sharded)
-    rep_sh = NamedSharding(mesh, P())
-    data_sh = NamedSharding(mesh, P(axis, None))
-
-    def placed(state, data, key):
-        state = jax.device_put(state, rep_sh)
-        data = jax.device_put(data, data_sh)
-        return jitted(state, data, key)
-
-    return placed
+    return jit_with_placed_inputs(
+        sharded, mesh, (P(), P(axis, None), None)
+    )
 
 
 def sync_dp_train_epoch(

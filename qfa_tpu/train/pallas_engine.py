@@ -329,7 +329,11 @@ def pallas_train_epoch(
     if tile_batch is None:
         tb, br = pick_tiling(b, data.delta.shape[1])
     else:
-        tb = tile_batch
+        # Cap an explicit tile at the (8-rounded) batch: a tile larger
+        # than the batch would silently inflate every update window to
+        # the tile size, changing the training composition and streaming
+        # mostly-inert rows.
+        tb = min(tile_batch, -(-b // 8) * 8)
         br = -(-b // tb) * tb
     if n % br:
         raise ValueError(
@@ -478,8 +482,12 @@ def fit_pallas(
     if tile_batch is None:
         tb_used, b_shard_rows = pick_tiling(b_shard, data.delta.shape[1])
     else:
-        tb_used = tile_batch
-        b_shard_rows = -(-b_shard // tile_batch) * tile_batch
+        # Cap an explicit tile at the (8-rounded) per-device batch —
+        # otherwise tile_batch > b_shard silently inflates every batch
+        # window to the tile size (mostly inert rows, altered training
+        # composition) instead of training the configured batch size.
+        tb_used = min(tile_batch, -(-b_shard // 8) * 8)
+        b_shard_rows = -(-b_shard // tb_used) * tb_used
     batch_rows = b_shard_rows * ndev  # global rows each update spans
     n_batches = max(-(-n_real // config.batch_size), 1)
     pad = n_batches * batch_rows - data.size

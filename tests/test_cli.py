@@ -224,6 +224,35 @@ def test_train_with_validation_concat_compat(survey):
     assert os.path.exists(f"{out}/train-catalog.csv")
 
 
+def test_validation_concat_compat_missing_files_raise(survey):
+    """The parity flag must FAIL LOUDLY when the validation catalog/dir is
+    missing, not silently degrade to the held-out composition — its whole
+    purpose is the reference's exact training-set composition
+    (/root/reference/QFA/dataloader.py:81-85)."""
+    root, catalog, data_dir, grid = survey
+    out = str(root / "train_valcat_missing_out")
+    with pytest.raises(FileNotFoundError, match="VALIDATION_CONCAT_COMPAT"):
+        main(
+            [
+                "--type", "train",
+                "--catalog", catalog,
+                "--data_dir", data_dir,
+                "--output_dir", out,
+                "--data_num", "24",
+                "--batch_size", "8",
+                "--n_epochs", "1",
+                "--nh", "3",
+                "--num_mask", "40",
+                "--validation_catalog", str(root / "no-such-catalog.csv"),
+                "--validation_dir", data_dir,
+                "--validation_num", "8",
+                "--opts", "DATA.VALIDATION", "true",
+                "DATA.VALIDATION_CONCAT_COMPAT", "true",
+                *_grid_opts(),
+            ]
+        )
+
+
 def test_train_cli_uses_data_parallel_mesh(survey):
     """On this 8-virtual-device platform the CLI trains through the SPMD
     data-parallel path (MESH.DATA_AXIS default -1 = all devices)."""

@@ -224,6 +224,41 @@ def test_fit_pallas_odd_batch_sizes_train(problem, batch_size):
         assert np.isfinite(np.asarray(leaf)).all()
 
 
+def test_explicit_oversize_tile_capped_at_batch(problem):
+    """An explicit ``tile_batch`` larger than the batch must be capped at
+    the (8-rounded) batch, not silently inflate every update window to the
+    tile size (mostly-inert rows, altered training composition): the
+    oversize-tile run must be bit-identical to the matching aligned tile."""
+    grid, nh, data, mu = problem
+    p0 = random_init(jax.random.key(7), grid.npix, grid.nb, nh)
+    cfg = TrainConfig(
+        n_epochs=2, batch_size=8, learning_rate=1e-2,
+        weight_decay=0.01, smooth_interval=100,
+    )
+    ref_params, ref_hist = fit_pallas(
+        p0, data, mu, cfg, key=jax.random.key(9), tile_batch=8,
+        interpret=True,
+    )
+    big_params, big_hist = fit_pallas(
+        p0, data, mu, cfg, key=jax.random.key(9), tile_batch=256,
+        interpret=True,
+    )
+    np.testing.assert_array_equal(np.asarray(ref_hist),
+                                  np.asarray(big_hist))
+    for name in ("F", "Psi", "omega", "tau0", "c0", "beta"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(ref_params, name)),
+            np.asarray(getattr(big_params, name)), err_msg=name,
+        )
+    # the low-level single-epoch entry previously REJECTED this dataset
+    # (64 rows is not a whole number of 256-row windows) — capped, it runs
+    st = TrainState(p0, adam.init(p0))
+    st2, loss = pallas_train_epoch(
+        st, data, jax.random.key(11), cfg, tile_batch=512, interpret=True
+    )
+    assert np.isfinite(loss)
+
+
 def test_padded_batch_matches_xla_at_effective_batch(problem):
     """A padded-window epoch (b=12 -> 16-row windows) equals the XLA scan
     epoch run at the effective batch on the same padded composition —
