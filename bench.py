@@ -119,6 +119,50 @@ def make_problem(grid, nh, n, seed=0):
     return params, mu, syn, data, plane
 
 
+def bench_chained_predict(params, mu, flux, err, zq, llrow, *, n, k=5,
+                          trials=3, **fp_kw):
+    """Per-sweep seconds of ``fused_predict`` with the ~25-35 ms
+    single-dispatch tunnel RTT cancelled.
+
+    A lone ``fused_predict`` + scalar pull measures the round trip, not
+    the kernel (round-3 numbers understated the kernel 8-16x). Here K
+    calls chain inside ONE jit — per-call c0 perturbations plus a
+    1e-30-scaled running-sum term defeat tunnel memoization, CSE and
+    reordering — and the interleaved same-window (t_K - t_1)/(K-1) delta
+    is the honest per-sweep cost (congestion-robust: both arms slow
+    together). Returns ``(per_sweep_s, single_dispatch_s)``.
+    """
+    from qfa_tpu.ops import fused_predict
+
+    def make_chain(kk):
+        def chain(p, mu, flux, err, zq):
+            tot = jnp.float32(0.0)
+            for i in range(kk):
+                pv = p._replace(c0=p.c0 + 1e-7 * i + tot * 1e-30)
+                r = fused_predict(pv, mu, flux, err, zq, None,
+                                  loglam=llrow, derive_zabs=True, **fp_kw)
+                tot = tot + r.ll[-1]
+            return tot
+
+        return jax.jit(chain)
+
+    c1, ck = make_chain(1), make_chain(k)
+    _ = float(np.asarray(c1(params, mu, flux, err, zq)))  # compile
+    _ = float(np.asarray(ck(params, mu, flux, err, zq)))
+    deltas, singles = [], []
+    for trial in range(trials):
+        pv = params._replace(beta=params.beta + 1e-6 * (trial + 1))
+        t0 = time.perf_counter()
+        _ = float(np.asarray(c1(pv, mu, flux, err, zq)))
+        t1 = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        _ = float(np.asarray(ck(pv, mu, flux, err, zq)))
+        tk = time.perf_counter() - t0
+        deltas.append((tk - t1) / (k - 1))
+        singles.append(t1)
+    return float(np.median(deltas)), float(min(singles))
+
+
 def bench_pallas_epochs(params, data, batch_size, tile_batch, trials,
                         loglam=None):
     """Chained single-dispatch epochs; one sync closes the window."""
@@ -440,6 +484,13 @@ def run_smoke(full: bool = True) -> dict:
             zq_column(jnp.asarray(syn2.zqso)), None, tile_batch=16,
             stats_only=True, loglam=loglam_row(grid2.wav),
             derive_zabs=True,
+        ).compile())
+        # bf16 continuum/std output planes (in-kernel f32->bf16 store)
+        check("predict_bf16_out", lambda: fused_predict.lower(
+            params2, mu2, syn2.flux * syn2.mask, syn2.error * syn2.mask,
+            zq_column(jnp.asarray(syn2.zqso)), None, tile_batch=16,
+            loglam=loglam_row(grid2.wav), derive_zabs=True,
+            out_dtype=jnp.bfloat16,
         ).compile())
         # sync_grads window mode (parallel.sync_dp's kernel ABI): pending
         # gradient inputs + exported raw accumulators are extra in/out
@@ -830,28 +881,24 @@ def main() -> None:
     infer_params = state.params
     zq = zq_column(syn.zqso)
     llrow = loglam_row(grid.wav)
-    # fresh inputs per trial (the tunnel memoizes identical executions),
-    # prepared OUTSIDE the timed window; sync via a small host pull
+    # per-sweep time via K-chained in-jit calls (bench_chained_predict):
+    # a lone dispatch + pull measures the ~25-35 ms tunnel RTT, not the
+    # kernel — round-3 reported 1.6M spectra/s for a kernel running 12M+
     sanitize = jax.jit(lambda s, c: (s.flux * s.mask * c, s.error * s.mask))
-    infer_rate = None
+    infer_rate = infer_dispatch_ms = None
     res = flux_s = err_s = None
     try:
         flux_s, err_s = sanitize(syn, 1.0)
         _ = float(np.asarray(err_s[0, 0]))
         res = fused_predict(infer_params, mu, flux_s, err_s, zq, None,
                             tile_batch=256, loglam=llrow, derive_zabs=True)
-        _ = float(np.asarray(res.ll[0]))
-        infer_times = []
-        for trial in range(3):
-            flux_s, err_s = sanitize(syn, 1.0 + 1e-7 * (trial + 1))
-            _ = float(np.asarray(flux_s[0, 0]))
-            t0 = time.perf_counter()
-            res = fused_predict(infer_params, mu, flux_s, err_s, zq, None,
-                                tile_batch=256, loglam=llrow,
-                                derive_zabs=True)
-            _ = float(np.asarray(res.ll[-1]))
-            infer_times.append(time.perf_counter() - t0)
-        infer_rate = n_spectra / min(infer_times)
+        _ = float(np.asarray(res.ll[0]))  # correctness path stays exercised
+        per_sweep, single = bench_chained_predict(
+            infer_params, mu, flux_s, err_s, zq, llrow,
+            n=n_spectra, tile_batch=256,
+        )
+        infer_rate = n_spectra / per_sweep
+        infer_dispatch_ms = single * 1e3
     except Exception as e:  # noqa: BLE001
         failures["infer"] = f"{type(e).__name__}: {str(e)[:200]}"
 
@@ -862,19 +909,14 @@ def main() -> None:
         kw_ood = dict(tile_batch=512, stats_only=True, loglam=llrow,
                       derive_zabs=True)
         flux_s, err_s = sanitize(syn, 1.0 + 1e-7)
+        per_sweep, _single = bench_chained_predict(
+            infer_params, mu, flux_s, err_s, zq, llrow,
+            n=n_spectra, tile_batch=512, stats_only=True,
+        )
+        ood_rate = n_spectra / per_sweep
         res = fused_predict(infer_params, mu, flux_s, err_s, zq, None,
                             **kw_ood)
         _ = float(np.asarray(res.ll[0]))
-        ood_times = []
-        for trial in range(3):
-            flux_s, err_s = sanitize(syn, 1.0 + 1e-7 * (trial + 3))
-            _ = float(np.asarray(flux_s[0, 0]))
-            t0 = time.perf_counter()
-            res = fused_predict(infer_params, mu, flux_s, err_s, zq, None,
-                                **kw_ood)
-            _ = float(np.asarray(res.ll[-1]))
-            ood_times.append(time.perf_counter() - t0)
-        ood_rate = n_spectra / min(ood_times)
     except Exception as e:  # noqa: BLE001
         failures["ood"] = f"{type(e).__name__}: {str(e)[:200]}"
 
@@ -949,18 +991,11 @@ def main() -> None:
                 loglam=desi_llrow, derive_zabs=True,
             )
             _ = float(np.asarray(dres.ll[0]))
-            dtimes = []
-            for trial in range(2):
-                dflux, derr = dsan(desi_syn, 1.0 + 1e-7 * (trial + 1))
-                _ = float(np.asarray(dflux[0, 0]))
-                t0 = time.perf_counter()
-                dres = fused_predict(
-                    desi_params, desi_mu, dflux, derr, desi_zq, None,
-                    loglam=desi_llrow, derive_zabs=True,
-                )
-                _ = float(np.asarray(dres.ll[-1]))
-                dtimes.append(time.perf_counter() - t0)
-            desi_infer_rate = desi_n / min(dtimes)
+            per_sweep, _single = bench_chained_predict(
+                desi_params, desi_mu, dflux, derr, desi_zq, desi_llrow,
+                n=desi_n, k=4, trials=2,
+            )
+            desi_infer_rate = desi_n / per_sweep
             del dres, dflux, derr, desi_zq
     except Exception as e:  # noqa: BLE001
         failures["desi_infer"] = f"{type(e).__name__}: {str(e)[:200]}"
@@ -1010,17 +1045,12 @@ def main() -> None:
             sres = _fp(big_params, mu, big.delta, big.error, big.zabs,
                        None, **kw_sood)
             _ = float(np.asarray(sres.ll[0]))
-            stimes = []
-            for trial in range(3):
-                pv = big_params._replace(
-                    c0=big_params.c0 + 1e-7 * (trial + 1)
-                )
-                t0 = time.perf_counter()
-                sres = _fp(pv, mu, big.delta, big.error, big.zabs, None,
-                           **kw_sood)
-                _ = float(np.asarray(sres.ll[-1]))
-                stimes.append(time.perf_counter() - t0)
-            survey_ood_rate = n_survey / min(stimes)
+            per_sweep, _single = bench_chained_predict(
+                big_params, mu, big.delta, big.error, big.zabs,
+                loglam_row(grid.wav), n=n_survey, k=3, trials=2,
+                tile_batch=512, stats_only=True,
+            )
+            survey_ood_rate = n_survey / per_sweep
             del sres
     except Exception as e:  # noqa: BLE001
         failures["survey_ood"] = f"{type(e).__name__}: {str(e)[:200]}"
@@ -1062,17 +1092,12 @@ def main() -> None:
             sres = _fp16(big16_params, mu, big16.delta, big16.error,
                          big16.zabs, None, **kw16)
             _ = float(np.asarray(sres.ll[0]))
-            stimes = []
-            for trial in range(3):
-                pv = big16_params._replace(
-                    c0=big16_params.c0 + 1e-7 * (trial + 1)
-                )
-                t0 = time.perf_counter()
-                sres = _fp16(pv, mu, big16.delta, big16.error, big16.zabs,
-                             None, **kw16)
-                _ = float(np.asarray(sres.ll[-1]))
-                stimes.append(time.perf_counter() - t0)
-            ood16_rate = n_big16 / min(stimes)
+            per_sweep, _single = bench_chained_predict(
+                big16_params, mu, big16.delta, big16.error, big16.zabs,
+                loglam_row(grid.wav), n=n_big16, k=3, trials=2,
+                tile_batch=512, stats_only=True,
+            )
+            ood16_rate = n_big16 / per_sweep
             del sres
     except Exception as e:  # noqa: BLE001
         failures["bf16_ood"] = f"{type(e).__name__}: {str(e)[:200]}"
@@ -1273,6 +1298,17 @@ def main() -> None:
                             "<= 2x; measured ~1.2x) vs 8-12x for the "
                             "per-batch parallel.dp cadence",
             "infer_engine": "fused single-launch Pallas prediction kernel",
+            "infer_methodology": "all prediction rates are per-sweep "
+                                 "times from K-chained in-jit calls, "
+                                 "interleaved (t_K - t_1)/(K-1) deltas "
+                                 "(bench_chained_predict): a lone "
+                                 "dispatch + scalar pull measures the "
+                                 "~25-35 ms tunnel round trip, not the "
+                                 "kernel — rounds 1-3 understated these "
+                                 "kernels 8-16x (infer_dispatch_ms "
+                                 "records the RTT-dominated single-call "
+                                 "time for comparison)",
+            "infer_dispatch_ms": _r(infer_dispatch_ms, 1),
             "infer_spectra_per_sec": _r(infer_rate),
             "infer_vs_baseline": _r(
                 None if infer_rate is None else infer_rate / INFER_BASELINE

@@ -25,6 +25,7 @@ from __future__ import annotations
 import functools
 
 import jax
+import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..ops.infer_kernel import (
@@ -46,6 +47,7 @@ def make_dp_predict_fn(
     stats_only: bool = False,
     derive_zabs: bool = False,
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ):
     """Build the jitted SPMD prediction step for ``mesh``.
 
@@ -65,7 +67,7 @@ def make_dp_predict_fn(
             params, mu, flux, error, zabs, mask,
             tau_which=tau_which, tile_batch=tile_batch,
             interpret=interpret, stats_only=stats_only,
-            loglam=loglam, derive_zabs=derive_zabs,
+            loglam=loglam, derive_zabs=derive_zabs, out_dtype=out_dtype,
         )
         if stats_only:  # drop the None fields: shard_map wants array leaves
             return res.ll, res.hmean, res.hcov, res.n_obs
@@ -116,6 +118,7 @@ def fused_predict_dp(
     loglam=None,
     derive_zabs: bool = False,
     interpret: bool = False,
+    out_dtype=jnp.float32,
 ) -> FusedPredictOutputs:
     """:func:`qfa_tpu.ops.fused_predict`, sharded over ``mesh``'s data axis.
 
@@ -161,7 +164,7 @@ def fused_predict_dp(
     fn = make_dp_predict_fn(
         mesh, has_mask=mask is not None, tau_which=tau_which,
         tile_batch=tb, stats_only=stats_only, derive_zabs=derive_zabs,
-        interpret=interpret,
+        interpret=interpret, out_dtype=out_dtype,
     )
     args = (
         params, mu, flux, error, zabs,

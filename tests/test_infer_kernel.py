@@ -290,6 +290,36 @@ def test_fused_predict_bf16_planes(problem):
                                np.asarray(a.continuum), rtol=5e-2, atol=2e-2)
 
 
+def test_fused_predict_bf16_out(problem):
+    """out_dtype=bfloat16 halves the continuum/std planes' HBM footprint:
+    the planes come back bfloat16 within bf16 quantization of the f32
+    run, and every per-spectrum stat (ll, posterior, counts) stays f32
+    and BITWISE equal (the cast happens only at the plane store)."""
+    grid, params, mu, syn = problem
+    flux = syn.flux * syn.mask
+    error = syn.error * syn.mask
+    a = fused_predict(params, mu, flux, error, syn.zabs, None,
+                      tile_batch=8, interpret=True)
+    b = fused_predict(params, mu, flux, error, syn.zabs, None,
+                      tile_batch=8, interpret=True, out_dtype=jnp.bfloat16)
+    assert b.continuum.dtype == jnp.bfloat16
+    assert b.continuum_std.dtype == jnp.bfloat16
+    for name in ("ll", "hmean", "hcov", "n_obs"):
+        got = getattr(b, name)
+        assert got.dtype == jnp.float32
+        np.testing.assert_array_equal(np.asarray(got),
+                                      np.asarray(getattr(a, name)),
+                                      err_msg=name)
+    np.testing.assert_allclose(
+        np.asarray(b.continuum, np.float32), np.asarray(a.continuum),
+        rtol=1e-2, atol=1e-2,
+    )
+    np.testing.assert_allclose(
+        np.asarray(b.continuum_std, np.float32),
+        np.asarray(a.continuum_std), rtol=1e-2, atol=1e-2,
+    )
+
+
 @pytest.mark.parametrize("nh", [1, 10])
 def test_fused_predict_stats_layout_nh_edges(nh):
     """Stats packing at the latent-dim edges: nh=1 (single 8-row stats

@@ -567,6 +567,16 @@ def test_dp_fused_predict_matches_single_device(infer_problem):
     assert {s.data.shape[0] for s in dp.ll.addressable_shards} == {
         64 // NDEV
     }
+    # out_dtype plumbs through the SPMD wrapper: bf16 planes, f32 stats
+    dp16 = fused_predict_dp(params, mu, flux, err, syn.zabs, syn.mask,
+                            mesh=mesh, tile_batch=8, interpret=True,
+                            out_dtype=jnp.bfloat16)
+    assert dp16.continuum.dtype == jnp.bfloat16
+    np.testing.assert_array_equal(np.asarray(dp16.ll), np.asarray(dp.ll))
+    np.testing.assert_allclose(
+        np.asarray(dp16.continuum, np.float32), np.asarray(dp.continuum),
+        rtol=1e-2, atol=1e-2,
+    )
 
 
 def test_dp_fused_predict_stats_only_production_layout(infer_problem):
