@@ -741,6 +741,8 @@ def main() -> None:
     # headline stage (device time-sharing drifts ~2x across a run).
     stage("whole-epoch dp (1-device mesh)")
     edp_rate = edp4_rate = edp_pair_ms = sync_rate = sync_dp_ratio = None
+    edp_data = edp_state = plain_state = sync_state = plain_fn = None
+    mesh1 = None
     try:
         from qfa_tpu.parallel import (
             make_epoch_dp_fn,
@@ -823,12 +825,21 @@ def main() -> None:
             _ = float(edp_losses[-1])
             edp4_times.append(time.perf_counter() - t0)
         edp4_rate = 4 * n_spectra / min(edp4_times)
+    except Exception as e:  # noqa: BLE001
+        failures["epoch_dp"] = f"{type(e).__name__}: {str(e)[:200]}"
 
-        # ---- exact-DP at launch cadence (parallel.sync_dp, K=1) ----------
-        # every optimizer step consumes the globally psum'd gradient: one
-        # kernel launch + one fused psum per batch. The 1-device overhead
-        # vs the plain whole-epoch engine is the honest cost of the exact
-        # trajectory (VERDICT r3 weak #5 target: <= 2x; measured ~1.2x).
+    # ---- exact-DP at launch cadence (parallel.sync_dp, K=1) --------------
+    # every optimizer step consumes the globally psum'd gradient: one
+    # kernel launch + one fused psum per batch. The 1-device overhead
+    # vs the plain whole-epoch engine is the honest cost of the exact
+    # trajectory (VERDICT r3 weak #5 target: <= 2x; measured ~1.2x).
+    # Own try/except: a sync-only failure must be recorded as sync_dp,
+    # not blamed on the epoch_dp rates that already measured fine.
+    try:
+        if edp_data is None or plain_state is None:
+            raise RuntimeError("skipped: epoch_dp stage did not come up")
+        from jax.sharding import NamedSharding, PartitionSpec
+
         stage("exact-dp sync (1-device mesh)")
         from qfa_tpu.parallel import make_sync_dp_epoch_fn
 
@@ -869,9 +880,9 @@ def main() -> None:
             _ = float(sl)
             sync_ratios.append((time.perf_counter() - t0) / t_plain)
         sync_dp_ratio = float(np.median(sync_ratios))
-        del edp_data, edp_state, plain_state, sync_state
     except Exception as e:  # noqa: BLE001
-        failures["epoch_dp"] = f"{type(e).__name__}: {str(e)[:200]}"
+        failures["sync_dp"] = f"{type(e).__name__}: {str(e)[:200]}"
+    del edp_data, edp_state, plain_state, sync_state  # free HBM
 
     # ---- inference throughput: fused single-launch prediction kernel ------
     # (production layout: zq column + in-kernel mask)
@@ -1444,7 +1455,12 @@ def main() -> None:
             ),
             "smoke": "ok" if not smoke_fails else sorted(smoke_fails),
             "failed_stages": sorted(failures) if failures else None,
-            "details": "full record in BENCH_DETAILS.json (+ stderr)",
+            "details": (
+                "full record in BENCH_DETAILS.json (+ stderr)"
+                if details_path is not None
+                else "BENCH_DETAILS.json write FAILED; full record on "
+                     "stderr only"
+            ),
         },
     }
     print(json.dumps(compact))

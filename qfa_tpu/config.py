@@ -157,6 +157,8 @@ def default_config() -> ConfigNode:
                 #: are trained on and shape the mu estimate, never
                 #: evaluated. Default False keeps the held-out behavior
                 #: (validation spectra only scored after each epoch).
+                #: Requires DATA.VALIDATION (the reference gates the
+                #: concat on it); the contradictory combination raises.
                 "VALIDATION_CONCAT_COMPAT": False,
             },
             "MODEL": {

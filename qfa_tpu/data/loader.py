@@ -188,9 +188,19 @@ def validation_concat_paths(
     purpose is exact parity, and the reference itself would crash on the
     missing file.
     """
-    if not (getattr(data_cfg, "VALIDATION_CONCAT_COMPAT", False)
-            and getattr(data_cfg, "VALIDATION", False)):
+    if not getattr(data_cfg, "VALIDATION_CONCAT_COMPAT", False):
         return None
+    if not getattr(data_cfg, "VALIDATION", False):
+        # The reference only concatenates when DATA.VALIDATION is on
+        # (/root/reference/QFA/dataloader.py:81) — but silently ignoring
+        # the compat flag would contradict its fail-loudly contract, so
+        # the contradictory config is an error, not a no-op.
+        raise ValueError(
+            "DATA.VALIDATION_CONCAT_COMPAT requires DATA.VALIDATION: the "
+            "reference gates the concat on DATA.VALIDATION "
+            "(/root/reference/QFA/dataloader.py:81); enable both, or drop "
+            "the compat flag for the held-out composition"
+        )
     for what, path in (("catalog", data_cfg.VALIDATION_CATALOG),
                        ("directory", data_cfg.VALIDATION_DIR)):
         if not path or not os.path.exists(path):

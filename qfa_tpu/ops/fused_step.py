@@ -328,6 +328,19 @@ def _build_static(npix: int, nb: int, nh: int, tb: int):
     return p, rc
 
 
+def _resolve_step_tile(tile_batch: int, b: int, interpret: bool) -> int:
+    """Tile rows :func:`fused_loss_grads` actually uses for a ``b``-row
+    batch: capped at the batch, and off interpret mode rounded UP to the
+    8-row sublane granule Mosaic requires (the RESOLVED tile is rounded —
+    capping at the raw ``tile_batch`` would leave a misaligned request
+    like 5 misaligned and trip the validator on hardware only). Inert-row
+    padding absorbs the difference."""
+    tb = min(tile_batch, b)
+    if not interpret and tb % 8:
+        tb = min(_round_up(tb, 8), _round_up(b, 8))
+    return tb
+
+
 @functools.partial(
     jax.jit, static_argnames=("tau_which", "tile_batch", "interpret")
 )
@@ -351,11 +364,7 @@ def fused_loss_grads(
     npix, nh = params.F.shape
     nb = params.omega.shape[0]
     b = batch.delta.shape[0]
-    tb = min(tile_batch, b)
-    if not interpret and tb % 8:
-        # hardware needs sublane-aligned tiles; inert-row padding (below)
-        # absorbs the difference
-        tb = min(tile_batch, _round_up(b, 8))
+    tb = _resolve_step_tile(tile_batch, b, interpret)
     p, rc = _build_static(npix, nb, nh, tb)
     from .validate import validate_step_kernel
 

@@ -110,9 +110,12 @@ def make_epoch_dp_fn(
 
     def resolve_tile(npix: int) -> int:
         if tile_batch is None:
-            from ..train.pallas_engine import pick_tile_batch
+            # divisor tile, NOT pick_tiling: this layer has no padding
+            # machinery, so a padded window wider than the local rows
+            # (which pick_tiling may prefer) cannot be honored here
+            from ..train.pallas_engine import pick_divisor_tile
 
-            tb = pick_tile_batch(b_local_rows, npix)
+            tb = pick_divisor_tile(b_local_rows, npix)
         else:
             tb = min(tile_batch, b_local_rows)
         if b_local_rows % tb:

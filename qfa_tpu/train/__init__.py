@@ -6,6 +6,7 @@ from .pallas_engine import (
     fit_pallas,
     make_pallas_epoch_fn,
     pallas_train_epoch,
+    pick_divisor_tile,
     pick_tile_batch,
     pick_tiling,
 )
@@ -36,6 +37,7 @@ __all__ = [
     "fit_streaming",
     "pallas_train_epoch",
     "pick_tile_batch",
+    "pick_divisor_tile",
     "pick_tiling",
     "guard_nonfinite",
     "make_epoch_fn",

@@ -38,6 +38,7 @@ __all__ = [
     "pallas_train_epoch",
     "fit_pallas",
     "pick_tile_batch",
+    "pick_divisor_tile",
     "pick_tiling",
 ]
 
@@ -64,20 +65,17 @@ def pick_tiling(
     loss bookkeeping — ``fit_pallas`` does this automatically.
 
     Tile choice: 256 rows at SDSS width, 128 beyond 4096 lanes (DESI) —
-    the measured fastest compiling sizes. For batch sizes no power-of-two
-    tile divides, the tile minimizes the measured cost model
-    ``grid_steps * 2.2us + padded_rows * row_time`` over power-of-two
-    tiles in [8, limit] (e.g. 500 -> (256, 512): 2.4% inert-row waste
-    beats 63 sublane-narrow grid steps by ~25x).
+    the measured fastest compiling sizes. Every batch size runs the
+    measured cost model ``grid_steps * 2.2us + padded_rows * row_time``
+    over power-of-two tiles in [8, limit]; exact-divisor tilings are
+    candidates with zero padding and win whenever their step count is
+    competitive (e.g. 500 -> (256, 512): 2.4% inert-row waste beats 63
+    sublane-narrow grid steps by ~25x; 504 -> (256, 512), NOT its largest
+    power-of-two divisor 8, which would cost 63 grid steps). Ties go to
+    the smaller tile (least padding, least resident-memory growth).
     """
     if npix > 4000:
         limit = min(limit, 128)
-    # exact-divisor fast path: largest power-of-two divisor, if 8-aligned
-    tb = 1
-    while tb * 2 <= limit and batch_size % (tb * 2) == 0:
-        tb *= 2
-    if tb >= 8:
-        return tb, batch_size
     row_us = _ROW_US_SDSS * max(npix, 128) / 1920.0
     best_tb, best_cost = 8, None
     tb = 8
@@ -88,6 +86,25 @@ def pick_tiling(
             best_tb, best_cost = tb, cost
         tb *= 2
     return best_tb, -(-batch_size // best_tb) * best_tb
+
+
+def pick_divisor_tile(rows: int, npix: int, limit: int = 256) -> int:
+    """Largest power-of-two tile that exactly DIVIDES ``rows`` (VMEM
+    limit-capped: 256 at SDSS width, 128 at DESI).
+
+    For layers with no batch-padding machinery of their own
+    (``parallel.epoch_dp`` / ``parallel.sync_dp`` resolving a default tile
+    for an already-padded local window): :func:`pick_tiling` may prefer a
+    padded window wider than the rows it was asked about, which those
+    layers cannot honor. Returns 1/2/4 for sublane-misaligned row counts —
+    callers' alignment validation turns that into their own clear error.
+    """
+    if npix > 4000:
+        limit = min(limit, 128)
+    tb = 1
+    while tb * 2 <= limit and rows % (tb * 2) == 0:
+        tb *= 2
+    return tb
 
 
 def pick_tile_batch(batch_size: int, npix: int, limit: int = 256) -> int:
@@ -305,6 +322,7 @@ def pallas_train_epoch(
     config: TrainConfig,
     *,
     tile_batch: int | None = None,
+    batch_rows: int | None = None,
     interpret: bool = False,
     derive_mask: bool = False,
     loglam=None,
@@ -317,7 +335,12 @@ def pallas_train_epoch(
     otherwise each update spans ``pick_tiling``'s padded ``batch_rows``
     (e.g. 512 dataset rows per 500-row batch at the reference default) and
     the dataset must be padded with inert zero rows accordingly —
-    :func:`fit_pallas` does all of this automatically. ``derive_mask=True``
+    :func:`fit_pallas` does all of this automatically. Pass ``batch_rows``
+    together with ``tile_batch`` to hand a pre-resolved
+    :func:`pick_tiling` pair straight through (``fit_pallas`` does: its
+    padding must agree bit-for-bit with the window used here, including
+    when the chosen tile exceeds the 8-rounded batch — e.g. batch 20 ->
+    one 32-row window). ``derive_mask=True``
     recomputes the mask from ``error > 0`` in-kernel instead of streaming
     it from HBM (survey-scale memory saver); ``loglam`` (see
     :func:`make_pallas_epoch_fn`) likewise replaces the zabs plane with a
@@ -328,13 +351,26 @@ def pallas_train_epoch(
     b = config.batch_size
     if tile_batch is None:
         tb, br = pick_tiling(b, data.delta.shape[1])
+        if batch_rows is not None:
+            br = batch_rows
+    elif batch_rows is not None:
+        # pre-resolved (tile, window) pair — trust it, just round a
+        # misaligned tile up to the sublane granule like the paths below
+        tb = -(-tile_batch // 8) * 8
+        br = batch_rows
     else:
         # Cap an explicit tile at the (8-rounded) batch: a tile larger
         # than the batch would silently inflate every update window to
-        # the tile size, changing the training composition and streaming
-        # mostly-inert rows.
-        tb = min(tile_batch, -(-b // 8) * 8)
+        # the tile size, streaming mostly-inert rows. Misaligned tiles
+        # are rounded up to the 8-row sublane granule Mosaic requires.
+        tb = min(-(-tile_batch // 8) * 8, -(-b // 8) * 8)
         br = -(-b // tb) * tb
+    if br % tb or br < b:
+        raise ValueError(
+            f"batch_rows {br} must be a multiple of the {tb}-row tile "
+            f"covering the {b}-row batch (pick_tiling returns a "
+            "consistent pair)"
+        )
     if n % br:
         raise ValueError(
             f"dataset size {n} is not a whole number of {br}-row batch "
@@ -484,9 +520,10 @@ def fit_pallas(
     else:
         # Cap an explicit tile at the (8-rounded) per-device batch —
         # otherwise tile_batch > b_shard silently inflates every batch
-        # window to the tile size (mostly inert rows, altered training
-        # composition) instead of training the configured batch size.
-        tb_used = min(tile_batch, -(-b_shard // 8) * 8)
+        # window to the tile size (mostly inert rows) instead of training
+        # the configured batch size. Misaligned tiles round up to the
+        # 8-row sublane granule Mosaic requires.
+        tb_used = min(-(-tile_batch // 8) * 8, -(-b_shard // 8) * 8)
         b_shard_rows = -(-b_shard // tb_used) * tb_used
     batch_rows = b_shard_rows * ndev  # global rows each update spans
     n_batches = max(-(-n_real // config.batch_size), 1)
@@ -591,10 +628,14 @@ def fit_pallas(
         make_chunk_runner = None
 
         def run_epoch(state, sub):
+            # batch_rows must be the SAME window this function padded the
+            # dataset for — re-deriving it from the tile alone crashes
+            # whenever pick_tiling chose a tile wider than the 8-rounded
+            # batch (e.g. batch 20 -> one 32-row window)
             return pallas_train_epoch(
                 state, data, sub, config, tile_batch=tb_used,
-                derive_mask=derive_mask, loglam=loglam, n_real=n_real,
-                interpret=interpret,
+                batch_rows=batch_rows, derive_mask=derive_mask,
+                loglam=loglam, n_real=n_real, interpret=interpret,
             )
 
     epl = max(1, int(epochs_per_launch))

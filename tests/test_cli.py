@@ -253,6 +253,25 @@ def test_validation_concat_compat_missing_files_raise(survey):
         )
 
 
+def test_validation_concat_compat_without_validation_raises():
+    """DATA.VALIDATION_CONCAT_COMPAT with DATA.VALIDATION off is a
+    contradiction (the reference gates the concat on DATA.VALIDATION,
+    /root/reference/QFA/dataloader.py:81): the flag must raise, not be
+    silently ignored."""
+    from qfa_tpu.config import default_config
+    from qfa_tpu.data.loader import validation_concat_paths
+
+    cfg = default_config()
+    cfg.defrost()
+    cfg.DATA.VALIDATION_CONCAT_COMPAT = True
+    cfg.DATA.VALIDATION = False
+    with pytest.raises(ValueError, match="DATA.VALIDATION"):
+        validation_concat_paths(cfg.DATA, seed=0)
+    # both flags off: plain held-out composition, no extra paths
+    cfg.DATA.VALIDATION_CONCAT_COMPAT = False
+    assert validation_concat_paths(cfg.DATA, seed=0) is None
+
+
 def test_train_cli_uses_data_parallel_mesh(survey):
     """On this 8-virtual-device platform the CLI trains through the SPMD
     data-parallel path (MESH.DATA_AXIS default -1 = all devices)."""

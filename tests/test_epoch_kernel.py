@@ -695,13 +695,14 @@ def test_epoch_kernel_blue_lane_split_path():
 
 def test_pick_tile_batch_heuristic():
     """VMEM-aware training tiles: 256 at SDSS width, 128 at DESI width
-    (compile-viable since the accumulation-dot split), always a
-    power-of-two divisor of the batch."""
+    (compile-viable since the accumulation-dot split); the cost model may
+    prefer a padded wide tile over many exact-divisor grid steps."""
     from qfa_tpu.train import pick_tile_batch
 
     assert pick_tile_batch(4096, 1913) == 256
     assert pick_tile_batch(1024, 9243) == 128
-    assert pick_tile_batch(96, 1913) == 32  # largest pow2 dividing 96
+    # one padded 128-row window beats three exact 32-row grid steps
+    assert pick_tile_batch(96, 1913) == 128
     assert pick_tile_batch(8, 9243) == 8
 
 

@@ -58,14 +58,33 @@ def test_pick_tiling_padded_cases(batch, npix, tb_exp):
 @pytest.mark.parametrize(
     "batch,npix,expect",
     [
-        (4096, 1913, (256, 4096)),  # historical fast path: divisor, no pad
-        (96, 1913, (32, 96)),
+        (4096, 1913, (256, 4096)),  # exact divisor, no pad
         (8, 9243, (8, 8)),
         (1024, 9243, (128, 1024)),
+        # the cost model runs for EVERY batch size: an 8-aligned divisor
+        # no longer short-circuits it, so 504 takes the same padded
+        # 256-row window as 500 instead of 63 sublane-narrow grid steps
+        # from its largest power-of-two divisor 8 (~25x slower measured)
+        (504, 1913, (256, 512)),
+        (1000, 1913, (256, 1024)),
+        (96, 1913, (128, 128)),  # one padded window beats 3 grid steps
     ],
 )
-def test_pick_tiling_exact_divisor_fast_path(batch, npix, expect):
+def test_pick_tiling_cost_model_all_batches(batch, npix, expect):
     assert pick_tiling(batch, npix) == expect
+
+
+def test_pick_divisor_tile_for_padding_free_layers():
+    """epoch_dp/sync_dp's default tile must exactly divide the local
+    window (those layers have no padding machinery — pick_tiling may
+    prefer a wider padded window they cannot honor)."""
+    from qfa_tpu.train import pick_divisor_tile
+
+    assert pick_divisor_tile(96, 1913) == 32
+    assert pick_divisor_tile(4096, 1913) == 256
+    assert pick_divisor_tile(1024, 9243) == 128  # DESI cap
+    assert pick_divisor_tile(8, 1913) == 8
+    assert pick_divisor_tile(12, 1913) == 4  # misaligned: caller raises
 
 
 # ---------------------------------------------------------------------------
@@ -183,6 +202,18 @@ def test_fused_loss_grads_misaligned_tile_bumps_and_pads():
         np.asarray(out5.grads.F), np.asarray(out8.grads.F),
         rtol=1e-5, atol=1e-7,
     )
+    # off interpret the RESOLVED tile is rounded up to the sublane
+    # granule: a misaligned requested tile smaller than the batch (5 on
+    # 16 rows) must bump to 8, not stay capped at the misaligned request
+    # (which validated interpret-only and raised on hardware)
+    from qfa_tpu.ops.fused_step import _resolve_step_tile
+
+    assert _resolve_step_tile(5, 16, False) == 8
+    assert _resolve_step_tile(5, 16, True) == 5  # interpret: any tile
+    assert _resolve_step_tile(256, 20, False) == 24
+    assert _resolve_step_tile(256, 20, True) == 20
+    assert _resolve_step_tile(8, 16, False) == 8
+    assert _resolve_step_tile(12, 100, False) == 16
 
 
 # ---------------------------------------------------------------------------
@@ -203,11 +234,14 @@ def problem():
     return grid, nh, data, mu
 
 
-@pytest.mark.parametrize("batch_size", [500, 12, 4])
+@pytest.mark.parametrize("batch_size", [500, 12, 4, 20, 36])
 def test_fit_pallas_odd_batch_sizes_train(problem, batch_size):
     """fit_pallas pads odd batches with inert rows and trains (the run
     shape of ``qfa-tpu --cfg configs/sdss_train.yaml`` with the reference
-    default BATCH_SIZE=500)."""
+    default BATCH_SIZE=500). 20 and 36 regress the round-4 crash where
+    pick_tiling chose a window WIDER than the 8-rounded batch (20 -> one
+    32-row window) and pallas_train_epoch re-derived a disagreeing 24-row
+    window from the tile alone — batch_rows is plumbed through now."""
     grid, nh, data, mu = problem
     p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
     cfg = TrainConfig(
