@@ -371,10 +371,8 @@ def run_train(cfg: ConfigNode) -> None:
 
 
 def run_predict(cfg: ConfigNode) -> None:
-    import pandas as pd
-
     from .data.grid import make_grid
-    from .data.loader import SpectraDataset
+    from .data.loader import SpectraDataset, read_predict_catalog
     from .infer.predict import (
         predict_dataset,
         predict_dataset_fused,
@@ -389,8 +387,7 @@ def run_predict(cfg: ConfigNode) -> None:
     logger = make_logger(out)
     grid = make_grid(cfg.DATA.LAMMIN, cfg.DATA.LAMMAX, cfg.DATA.LOGLAM_DELTA)
 
-    files = pd.read_csv(cfg.DATA.CATALOG, header=None).values.squeeze(-1)
-    paths = [os.path.join(cfg.DATA.DATA_DIR, str(f)) for f in np.atleast_1d(files)]
+    paths = read_predict_catalog(cfg.DATA.CATALOG, cfg.DATA.DATA_DIR)
     dataset = SpectraDataset.from_paths(paths, max_workers=cfg.DATA.NPROCS)
     params, mu = load_npz(cfg.MODEL.RESUME, compat_c0_bug=cfg.MODEL.COMPAT_C0_BUG)
 

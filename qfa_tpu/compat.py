@@ -457,12 +457,16 @@ class Dataloader:
             if extra is not None:
                 paths = list(paths) + extra
         elif self.type == "predict":
-            import pandas as pd
-            import os
+            # header=None keeps every row (the reference's pd.read_csv
+            # default header consumes the first line of a headerless
+            # list, /root/reference/QFA/dataloader.py:88-91); an actual
+            # header row in a ported catalog is sniffed and dropped —
+            # see data.loader.read_predict_catalog / MIGRATION.md #6
+            from .data.loader import read_predict_catalog
 
-            files = pd.read_csv(config.DATA.CATALOG, header=None).values
-            files = np.atleast_1d(files.squeeze(-1))
-            paths = [os.path.join(config.DATA.DATA_DIR, str(f)) for f in files]
+            paths = read_predict_catalog(
+                config.DATA.CATALOG, config.DATA.DATA_DIR
+            )
         else:
             raise NotImplementedError("TYPE should be in ['train', 'predict']!")
 

@@ -46,6 +46,7 @@ __all__ = [
     "read_spectra",
     "select_from_catalog",
     "validation_concat_paths",
+    "read_predict_catalog",
     "compute_taus",
     "estimate_mu",
     "make_residuals",
@@ -184,9 +185,12 @@ def validation_concat_paths(
     training arrays before mu estimation — trained on, never evaluated
     (``/root/reference/QFA/dataloader.py:81-85``). When the flag is ON but
     the validation catalog or directory is missing this RAISES instead of
-    silently degrading to the held-out composition: the flag's whole
-    purpose is exact parity, and the reference itself would crash on the
-    missing file.
+    silently degrading to the held-out composition. That is a deliberate
+    deviation, not parity: the reference gates the concat on
+    ``os.path.exists`` and silently skips a missing validation file
+    (``/root/reference/QFA/dataloader.py:81``) — this repo refuses that
+    silent divergence because the flag's whole purpose is exact
+    training-set composition.
     """
     if not getattr(data_cfg, "VALIDATION_CONCAT_COMPAT", False):
         return None
@@ -224,6 +228,44 @@ def validation_concat_paths(
         output_dir=output_dir,
         prefix="validation",
     ))
+
+
+def read_predict_catalog(catalog: str, data_dir: str) -> list[str]:
+    """Read a predict-mode catalog (plain file list) into spectrum paths,
+    sniffing an accidental header row.
+
+    The reference reads the predict catalog with pandas' DEFAULT header
+    (``/root/reference/QFA/dataloader.py:88-91``), so the first line of a
+    headerless file list is consumed as a column name and that spectrum
+    silently skipped. Here every row is kept (``header=None``) — but a
+    catalog ported from a reference workflow may carry a real header
+    line, which would otherwise gain a bogus first "file". Detection: if
+    the first row's resolved path does not exist while some later row's
+    does, it is a header — dropped with a warning (see MIGRATION.md
+    behavioral difference 6).
+    """
+    import warnings
+
+    import pandas as pd
+
+    files = pd.read_csv(catalog, header=None).values
+    files = np.atleast_1d(files.squeeze(-1))
+    paths = [os.path.join(data_dir, str(f)) for f in files]
+    if (
+        len(paths) > 1
+        and not os.path.exists(paths[0])
+        and any(os.path.exists(p) for p in paths[1:])
+    ):
+        warnings.warn(
+            f"predict catalog {catalog!r}: first row {files[0]!r} is not "
+            "an existing spectrum file but later rows are — treating it "
+            "as a header line and skipping it (the reference's "
+            "pd.read_csv default header would have consumed it too; see "
+            "MIGRATION.md)",
+            stacklevel=2,
+        )
+        paths = paths[1:]
+    return paths
 
 
 class SpectraDataset(NamedTuple):

@@ -945,11 +945,19 @@ def fused_train_epoch(
     # explicitly here (ops.validate) and raised as actionable errors.
     from .validate import validate_epoch_kernel
 
+    _streamed_planes = [delta, error]
+    if not derive_zabs:
+        _streamed_planes.append(zabs)
+    if mask is not None:
+        _streamed_planes.append(mask)
     validate_epoch_kernel(
         nh=nh, tile_batch=tb, p_lanes=p, rc=rc, n_batches=n_batches,
-        n_epochs=n_epochs, streams=2 + (0 if derive_zabs else 1)
-        + (0 if mask is None else 1),
-        zq_lanes=ZQ_LANES if derive_zabs else None, interpret=interpret,
+        n_epochs=n_epochs, streams=len(_streamed_planes),
+        zq_lanes=ZQ_LANES if derive_zabs else None,
+        bf16_streams=sum(
+            1 for x in _streamed_planes if x.dtype == jnp.bfloat16
+        ),
+        interpret=interpret,
     )
 
     def pad_px(x, width):

@@ -68,9 +68,12 @@ def default_tile_batch(npix: int) -> int:
     Tiles below 128 cannot lower at all off interpret mode — the
     lane-major stats output needs a 128-multiple minor block dim
     (``ops.validate.validate_predict_kernel``, found by the bench.py
-    --smoke lowering check) — so 128 is the floor for arbitrarily wide
-    grids too. Used whenever the caller does not pass an explicit
-    ``tile_batch``.
+    --smoke lowering check) — so 128 is also the floor for wider grids.
+    128 was only *measured* up to DESI width (~9.3k lanes); grids beyond
+    that run on the same 128 floor with no narrower fallback available,
+    so ``bench.py --smoke`` includes an ultra-wide (~13k-lane) lowering
+    check to prove the assumption against the real toolchain. Used
+    whenever the caller does not pass an explicit ``tile_batch``.
     """
     return 128 if npix > 4000 else 256
 

@@ -112,6 +112,7 @@ def estimate_epoch_vmem(
     n_loss_rows: int,
     streams: int,
     zq_lanes: int | None = None,
+    bf16_streams: int = 0,
 ) -> int:
     """Lower-bound VMEM bytes the whole-epoch kernel asks Mosaic for.
 
@@ -127,10 +128,17 @@ def estimate_epoch_vmem(
             (delta + error + zabs-plane [+ mask]).
         zq_lanes: when set, the zabs stream is the narrow zq column of
             this many lanes instead of a full plane.
+        bf16_streams: how many of ``streams`` arrive as bfloat16
+            (``TRAIN.BF16_PLANES`` stores delta/error at 2 bytes/elem; the
+            kernel casts per-tile on read, so the streamed double buffers
+            really are half-size — pricing them at 4 bytes would falsely
+            reject survey-scale configurations that fit).
     """
     f32 = 4
     tile_bytes = tile_batch * p_lanes * f32
-    streamed = 2 * streams * tile_bytes  # double-buffered pipeline
+    # double-buffered pipeline; bf16 planes stream at half the bytes
+    streamed = 2 * (streams - bf16_streams) * tile_bytes
+    streamed += 2 * bf16_streams * (tile_bytes // 2)
     if zq_lanes is not None:
         streamed += 2 * tile_batch * zq_lanes * f32
     whole_in = (3 * nh + 8 + 1 + 1) * p_lanes * f32  # ft/mft/vft, rows, blue, loglam
@@ -149,6 +157,7 @@ def validate_epoch_kernel(
     n_epochs: int,
     streams: int,
     zq_lanes: int | None = None,
+    bf16_streams: int = 0,
     interpret: bool = False,
 ) -> None:
     """API-boundary guard for ``ops.epoch_kernel.fused_train_epoch``."""
@@ -166,6 +175,7 @@ def validate_epoch_kernel(
     need = estimate_epoch_vmem(
         nh=nh, tile_batch=tile_batch, p_lanes=p_lanes, rc=rc,
         n_loss_rows=n_epochs * n_batches, streams=streams, zq_lanes=zq_lanes,
+        bf16_streams=bf16_streams,
     )
     if need > VMEM_BYTES:
         raise ValueError(

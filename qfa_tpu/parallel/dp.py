@@ -1,4 +1,17 @@
-"""Data-parallel training over a device mesh via ``shard_map``.
+"""Per-batch-dispatch data-parallel training via ``shard_map``.
+
+.. note:: **Cross-check engine, not the production exact-DP path.**
+   This engine dispatches one XLA program per batch, which on the
+   launch-bound TPU tunnel measures **~11x the whole-epoch kernel's
+   time for the SAME trajectory** (``dp_overhead_vs_fit_pallas``,
+   BENCH_DETAILS.json). For exact DP in production use
+   ``parallel.sync_dp`` (``TRAIN.DP_EXACT`` from the CLI /
+   ``fit_pallas(dp_exact=True)``): identical per-step globally-psum'd
+   gradients at kernel-launch cadence, measured 1.03-1.24x the plain
+   engine. ``parallel.dp`` stays as the independently-derived XLA
+   reference that ``sync_dp`` and ``epoch_dp`` are equality-tested
+   against (``tests/test_sync_dp.py``, ``tests/test_parallel.py``),
+   and as the fallback on non-TPU backends (``TRAIN.ENGINE=xla``).
 
 SPMD layout:
 
@@ -122,7 +135,11 @@ def make_dp_epoch_fn(
     interpret: bool = False,
     n_real: int | None = None,
 ) -> Callable:
-    """Build the jitted SPMD one-epoch function.
+    """Build the jitted SPMD one-epoch function (per-batch dispatch).
+
+    **Prefer ``parallel.sync_dp.make_sync_dp_epoch_fn`` for exact DP in
+    production**: the same trajectory at ~1/11th the measured cost (this
+    engine pays one host dispatch per batch; see the module note).
 
     Signature: ``(state, data, idx) -> (state, mean_loss)`` with ``data``
     sharded by :func:`shard_dataset` and ``idx`` by

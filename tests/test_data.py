@@ -138,6 +138,46 @@ def test_compute_taus_chunking_invariant(grid):
         )
 
 
+def test_read_predict_catalog_header_sniff(tmp_path, grid):
+    """Headerless catalogs keep every row; a ported catalog WITH a header
+    row (the reference's pd.read_csv default header would consume it,
+    /root/reference/QFA/dataloader.py:88-91) is sniffed and dropped with
+    a warning instead of gaining a bogus first 'file'."""
+    import warnings
+
+    from qfa_tpu.data.loader import read_predict_catalog
+
+    rng = np.random.default_rng(4)
+    names = [f"s{i}.npz" for i in range(3)]
+    for name in names:
+        write_spec(tmp_path / name, grid.npix, 2.4, rng)
+
+    # headerless list: every row is a real file -> all kept, no warning
+    plain = tmp_path / "plain.csv"
+    plain.write_text("\n".join(names) + "\n")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        paths = read_predict_catalog(str(plain), str(tmp_path))
+    assert [p.split("/")[-1] for p in paths] == names
+
+    # headered list: first row names no file while later rows do ->
+    # sniffed as a header and skipped, with a warning
+    headered = tmp_path / "headered.csv"
+    headered.write_text("file\n" + "\n".join(names) + "\n")
+    with pytest.warns(UserWarning, match="header"):
+        paths = read_predict_catalog(str(headered), str(tmp_path))
+    assert [p.split("/")[-1] for p in paths] == names
+
+    # a list whose rows are ALL missing is left untouched (no existing
+    # later row to prove the first is a header)
+    ghost = tmp_path / "ghost.csv"
+    ghost.write_text("a.npz\nb.npz\n")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        paths = read_predict_catalog(str(ghost), str(tmp_path))
+    assert len(paths) == 2
+
+
 def test_batch_indices_cover_epoch():
     idx = batch_indices(jax.random.key(0), 100, 25)
     assert idx.shape == (4, 25)

@@ -159,6 +159,87 @@ def test_sync_dp_exact_matches_per_batch_dp_on_mesh(problem):
     assert_params_close(st_sync.opt_state.m, st_dp.opt_state.m, rtol=2e-3)
 
 
+def replica_arrays(x):
+    """Per-device copies of a replicated array (one per mesh device)."""
+    return [np.asarray(s.data) for s in x.addressable_shards]
+
+
+def assert_replicas_bit_identical(state):
+    """Every param/moment leaf holds the SAME bits on every device."""
+    for leaf in jax.tree.leaves((state.params, state.opt_state.m,
+                                 state.opt_state.v)):
+        reps = replica_arrays(leaf)
+        assert len(reps) > 1
+        for r in reps[1:]:
+            np.testing.assert_array_equal(r, reps[0])
+
+
+@pytest.mark.parametrize("k", [4, 3])
+def test_sync_dp_k_gt_1_multi_device_resync_and_bounded_drift(problem, k):
+    """The documented K>1 multi-device contract (VERDICT r4 weak #5):
+    interior batches of a window update locally (replicas drift WITHIN
+    the window, so the trajectory genuinely differs from K=1), and every
+    window boundary's psum re-sync leaves the replicas bit-identical —
+    pinned here by reading each device's copy of the replicated state.
+    K=3 over 4 batches also exercises the remainder window's re-sync.
+    Drift vs the K=1 exact-DP trajectory stays bounded."""
+    grid, data = problem
+    ndev = 2
+    mesh = make_mesh(ndev)
+    cfg = TrainConfig(batch_size=32, **CFG)  # 4 global batches of 128 rows
+    key = jax.random.key(13)
+    sharded = shard_dataset(data, mesh)
+
+    st1, loss1 = make_sync_dp_epoch_fn(
+        cfg, mesh, tile_batch=8, batches_per_launch=1, interpret=True
+    )(fresh_state(grid), sharded, key)
+    stk, lossk = make_sync_dp_epoch_fn(
+        cfg, mesh, tile_batch=8, batches_per_launch=k, interpret=True
+    )(fresh_state(grid), sharded, key)
+
+    # (a) the epoch's final window boundary re-synced the replicas:
+    # params AND Adam moments bit-identical on both devices
+    assert_replicas_bit_identical(stk)
+
+    # (b) interior batches really did update locally: the K>1 trajectory
+    # is NOT the K=1 trajectory (otherwise this test pins nothing)
+    diffs = [
+        float(np.max(np.abs(np.asarray(a) - np.asarray(b))))
+        for a, b in zip(jax.tree.leaves(stk.params),
+                        jax.tree.leaves(st1.params))
+    ]
+    assert max(diffs) > 0.0
+
+    # (c) ... but the drift vs exact DP is bounded (elementwise bounds
+    # are the wrong yardstick here — near-zero F entries make relative
+    # drift unbounded; the contract is bulk-trajectory closeness):
+    # relative Frobenius drift < 10% per leaf, loss within 5%
+    for name in ("F", "Psi", "omega", "c0", "beta"):
+        a = np.asarray(getattr(stk.params, name), np.float64)
+        b = np.asarray(getattr(st1.params, name), np.float64)
+        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+        assert rel < 0.10, (name, rel)
+    assert float(lossk) == pytest.approx(float(loss1), rel=0.05)
+
+
+def test_sync_dp_k_gt_1_resync_at_every_boundary(problem):
+    """Chained epochs with ONE window per epoch observe the re-sync at
+    every successive window boundary, not just the last: after each
+    epoch the replicas must again be bit-identical."""
+    grid, data = problem
+    mesh = make_mesh(2)
+    cfg = TrainConfig(batch_size=32, **CFG)
+    fn = make_sync_dp_epoch_fn(cfg, mesh, tile_batch=8,
+                               batches_per_launch=4, interpret=True)
+    st = fresh_state(grid)
+    sharded = shard_dataset(data, mesh)
+    for epoch in range(2):
+        st, loss = fn(st, sharded, jax.random.fold_in(jax.random.key(17),
+                                                      epoch))
+        assert np.isfinite(float(loss))
+        assert_replicas_bit_identical(st)
+
+
 def test_sync_dp_multi_epoch_chaining(problem):
     """Chained epochs advance the per-epoch Adam counter and learn."""
     grid, data = problem
