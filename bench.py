@@ -183,8 +183,10 @@ def bench_pallas_epochs(params, data, batch_size, tile_batch, trials,
 
 
 def calibrate_peaks():
-    """Measure this chip's usable MXU TF/s and HBM read GB/s (chained,
-    sized so fixed per-kernel overheads are amortized away)."""
+    """Measure this chip's usable MXU TF/s (f32-HIGHEST and true-bf16
+    passes with f32 accumulation) and HBM read GB/s (chained, sized so
+    fixed per-kernel overheads are amortized away). Returns
+    ``(peak_tflops_f32, peak_tflops_bf16, peak_read_gbps)``."""
     kk = 8
     a = jax.random.normal(jax.random.key(7), (4096, 4096), jnp.float32)
     b = jax.random.normal(jax.random.key(8), (4096, 4096), jnp.float32)
@@ -208,6 +210,33 @@ def calibrate_peaks():
     t_mm = (time.perf_counter() - t0) / kk
     peak_tflops = 2 * 4096**3 / t_mm / 1e12
 
+    # bf16 MXU peak, measured exactly the way the mxu_bf16 engine issues
+    # its heavy dots: explicit bfloat16 operand casts with f32 accumulation
+    # (the precision= flag is a no-op on this toolchain — CLAUDE.md)
+    @jax.jit
+    def mm_chain_bf16(ab, st):
+        af, bf = ab
+        probe, acc = st
+        bfb = bf.astype(jnp.bfloat16)
+        def step(acc, c):
+            y = jax.lax.dot_general(
+                (af * c).astype(jnp.bfloat16), bfb,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return y + acc * 1e-8, None
+        acc, _ = jax.lax.scan(step, acc, jnp.arange(1.0, kk + 1.0) + probe[0])
+        return (acc[0, :1], acc)
+
+    st = (jnp.zeros((1,)), jnp.zeros((4096, 4096), jnp.float32))
+    st = mm_chain_bf16((a, b), st)
+    _ = float(np.asarray(st[0])[0])
+    t0 = time.perf_counter()
+    st = mm_chain_bf16((a, b), st)
+    _ = float(np.asarray(st[0])[0])
+    t_bf = (time.perf_counter() - t0) / kk
+    peak_tflops_bf16 = 2 * 4096**3 / t_bf / 1e12
+
     x = jax.random.normal(jax.random.key(9), (131072, 1920), jnp.float32)
 
     @jax.jit
@@ -226,7 +255,7 @@ def calibrate_peaks():
     _ = float(np.asarray(st[0])[0])
     t_rd = (time.perf_counter() - t0) / kk
     peak_read_gbps = x.size * 4 / t_rd / 1e9
-    return peak_tflops, peak_read_gbps
+    return peak_tflops, peak_tflops_bf16, peak_read_gbps
 
 
 def calibrate_vpu():
@@ -646,6 +675,23 @@ def main() -> None:
         del stf, stb
     except Exception as e:  # noqa: BLE001
         failures["mxu_bf16"] = f"{type(e).__name__}: {str(e)[:200]}"
+
+    # ---- early MFU pair (VERDICT r4 #7): calibrate the MXU peak in the
+    # SAME congestion window the f32 rate above was just measured in, so
+    # the ratio is congestion-consistent. A second (rate, peak) pair runs
+    # at the end of the session; the best of the pairs is the
+    # quiet-window MFU, the late pair the session value.
+    stage("early mfu pair (mxu calibration)")
+    mfu_pairs = []
+    try:
+        pk_f32_early, _pk_bf16_early, _rd_early = calibrate_peaks()
+        if f32_train_rate is not None:
+            mfu_pairs.append(
+                {"when": "early", "f32_rate": round(f32_train_rate, 1),
+                 "peak_tflops": round(pk_f32_early, 2)}
+            )
+    except Exception as e:  # noqa: BLE001
+        failures["early_mfu_pair"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     # ---- bf16 capacity mode: half the resident bytes, measured rate ------
     stage("bf16 capacity mode")
@@ -1115,11 +1161,99 @@ def main() -> None:
     del big16
     gc.collect()
 
-    # ---- roofline / MFU accounting ----------------------------------------
-    stage("calibration (mxu + hbm)")
-    peak_tflops = peak_read_gbps = None
+    # ---- north star EXECUTED: 500k spectra x 500 epochs, measured --------
+    # VERDICT r4 #3: the BASELINE.md "500k on a v4-8 in <10 min" line was
+    # previously arithmetic from the survey rate; this stage RUNS it. The
+    # production trainer (fit_pallas, fused-5 launches, smoothing every 5
+    # epochs, mxu_bf16 engine) trains 524288 resident spectra for 500
+    # epochs; the measured wall-clock includes the chunk compile and every
+    # per-chunk host sync the production loop really pays.
+    stage("executed north star: 500k x 500 epochs")
+    measured_500k_min = ns_final_loss = None
     try:
-        peak_tflops, peak_read_gbps = calibrate_peaks()
+        from qfa_tpu.train.pallas_engine import fit_pallas
+
+        n_ns = 524288  # 128 batches of 4096
+        ns_data = build_survey(grid, n_ns, nh, seed=17)
+        ns_params = random_init(jax.random.key(19), grid.npix, grid.nb, nh)
+        ns_cfg = TrainConfig(
+            batch_size=batch_size, n_epochs=500, mxu_bf16=True,
+            # synthetic draws can cross NLL=0 long before epoch 500; the
+            # measurement is "500 real epochs", not the early-stop path
+            stop_on_negative_loss=False,
+        )
+        t0 = time.perf_counter()
+        ns_final, ns_hist = fit_pallas(
+            ns_params, ns_data, mu, ns_cfg, key=jax.random.key(18),
+            derive_mask=True, loglam=loglam_row(grid.wav),
+            epochs_per_launch=5,
+        )
+        jax.block_until_ready(ns_final.F)
+        measured_500k_min = (time.perf_counter() - t0) / 60.0
+        ns_final_loss = float(ns_hist[-1])
+        if len(ns_hist) != 500 or not np.isfinite(ns_final_loss):
+            failures["northstar_500k"] = (
+                f"ran {len(ns_hist)} epochs, final loss {ns_final_loss}"
+            )
+        del ns_data, ns_final
+    except Exception as e:  # noqa: BLE001
+        failures["northstar_500k"] = f"{type(e).__name__}: {str(e)[:200]}"
+    gc.collect()
+
+    # ---- roofline / MFU accounting ----------------------------------------
+    # ---- late (rate, peak) pair: re-measure BOTH engines' headline rates
+    # adjacent to the end-of-session calibration, so the session MFU /
+    # binding fractions compare a rate and a ceiling from the same
+    # congestion window (VERDICT r4 #7: the r3->r4 strict-MFU swing was
+    # session congestion hitting the two measurements differently).
+    stage("late rate re-measure (both engines)")
+    late_f32_rate = late_bf16_rate = None
+    try:
+        from qfa_tpu.train.pallas_engine import make_pallas_chunk_fn
+
+        lparams, lmu, lsyn, ldata, _ = make_problem(grid, nh, n_spectra,
+                                                    seed=31)
+        epl = 5
+        mkl = lambda c: make_pallas_chunk_fn(
+            c, n_epochs=epl, tile_batch=tile, derive_mask=True,
+            loglam=loglam_row(grid.wav),
+        )
+        lcf = mkl(TrainConfig(batch_size=batch_size))
+        lcb = mkl(TrainConfig(batch_size=batch_size, mxu_bf16=True))
+        lsf = TrainState(lparams, adam.init(lparams))
+        lsb = TrainState(lparams, adam.init(lparams))
+        lsf, lv = lcf(lsf, ldata, jax.random.key(810))
+        _ = float(lv[-1])
+        lsb, lv = lcb(lsb, ldata, jax.random.key(810))
+        _ = float(lv[-1])  # warm both (compiles cached from the headline)
+        f32_ts, bf16_ts = [], []
+        for k in range(3):
+            t0 = time.perf_counter()
+            for j in range(2):
+                lsf, lv = lcf(lsf, ldata, jax.random.key(820 + 2 * k + j))
+            _ = float(lv[-1])
+            f32_ts.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            for j in range(2):
+                lsb, lv = lcb(lsb, ldata, jax.random.key(820 + 2 * k + j))
+            _ = float(lv[-1])
+            bf16_ts.append(time.perf_counter() - t0)
+        late_f32_rate = n_spectra * 2 * epl / min(f32_ts)
+        late_bf16_rate = n_spectra * 2 * epl / min(bf16_ts)
+        del ldata, lsf, lsb, lparams, lsyn
+        gc.collect()
+    except Exception as e:  # noqa: BLE001
+        failures["late_rates"] = f"{type(e).__name__}: {str(e)[:200]}"
+
+    stage("calibration (mxu + hbm)")
+    peak_tflops = peak_tflops_bf16 = peak_read_gbps = None
+    try:
+        peak_tflops, peak_tflops_bf16, peak_read_gbps = calibrate_peaks()
+        if late_f32_rate is not None:
+            mfu_pairs.append(
+                {"when": "late", "f32_rate": round(late_f32_rate, 1),
+                 "peak_tflops": round(peak_tflops, 2)}
+            )
     except Exception as e:  # noqa: BLE001
         failures["calibration"] = f"{type(e).__name__}: {str(e)[:200]}"
     stage("calibration (vpu)")
@@ -1133,10 +1267,26 @@ def main() -> None:
     p = _round_up(grid.npix, 128)
     pb = _round_up(grid.nb, 128)
     fps = kernel_flops_per_spectrum(p, pb, nh)
-    # the roofline/binding model is built from f32 calibrations, so it is
-    # evaluated against the f32 parity engine's rate even when the
-    # mxu_bf16 engine holds the headline
+    ntri_ = nh * (nh + 1) // 2
+    # the 6 HEAVY dots (Gram/F projections + 4 backward contractions) are
+    # the ones the mxu_bf16 engine casts to bfloat16; the 3 ones-row
+    # reductions stay f32-HIGHEST in both engines
+    fps_heavy = 2.0 * p * 3 * (ntri_ + nh)
+    fps_light = fps - fps_heavy
+    # session MFU uses the congestion-consistent LATE pair; the historical
+    # cross-stage pairing (best-of-run rate vs end-of-run peak) is kept for
+    # r02-r04 comparability
     tflops = f32_train_rate * fps / 1e12
+    for pair in mfu_pairs:  # each pair carries its own adjacent peak
+        pair["mfu_pct"] = round(
+            100.0 * pair["f32_rate"] * fps / 1e12 / pair["peak_tflops"], 1
+        )
+    mfu_session = next(
+        (q["mfu_pct"] for q in mfu_pairs if q["when"] == "late"), None
+    )
+    mfu_best = max(
+        (q["mfu_pct"] for q in mfu_pairs if "mfu_pct" in q), default=None
+    )
     # production layout: delta + error planes + the 512 B zq column
     bytes_per_spectrum = 2 * p * 4 + 512
     hbm_gbps = f32_train_rate * bytes_per_spectrum / 1e9
@@ -1148,15 +1298,24 @@ def main() -> None:
     # -> binding = max(serial compute, HBM). Fractions are measured
     # throughput vs that ceiling, for BOTH the 65k-spectra headline epoch
     # and the survey-scale (768k) production run.
-    def binding_block(rate):
+    def binding_block(rate, engine="f32"):
         if rate is None or vpu_peaks is None or peak_tflops is None \
                 or peak_read_gbps is None:
+            return None
+        if engine == "bf16" and peak_tflops_bf16 is None:
             return None
         if any(v is None for v in vpu_peaks.values()):
             return {"note": "vpu calibration incomplete (a per-op delta "
                             "came back non-positive under tunnel jitter)"}
         counts = kernel_vpu_ops_per_spectrum(p, pb, nh)
-        t_mxu = fps / (peak_tflops * 1e12)
+        if engine == "bf16":
+            # the mxu_bf16 engine casts only the 6 heavy dots to bf16;
+            # the ones-row reductions (and all VPU work) stay f32
+            t_mxu = fps_heavy / (peak_tflops_bf16 * 1e12) + fps_light / (
+                peak_tflops * 1e12
+            )
+        else:
+            t_mxu = fps / (peak_tflops * 1e12)
         t_vpu = (
             counts["simple"] / vpu_peaks["fma"]
             + counts["exp"] / vpu_peaks["exp"]
@@ -1232,6 +1391,8 @@ def main() -> None:
             "fused5_epochs_per_launch_spectra_per_sec": _r(fused5_rate),
             "f32_train_spectra_per_sec": _r(f32_train_rate),
             "mxu_bf16_train_spectra_per_sec": _r(mxu_bf16_rate),
+            "late_f32_train_spectra_per_sec": _r(late_f32_rate),
+            "late_mxu_bf16_train_spectra_per_sec": _r(late_bf16_rate),
             "mxu_bf16_vs_f32_pair_ratio": _r(mxu_bf16_ratio, 3),
             "mxu_bf16_drift_rel_55ep": (
                 None if mxu_bf16_drift is None
@@ -1355,9 +1516,21 @@ def main() -> None:
             ),
             "bf16_ood_spectra_per_sec": _r(ood16_rate),
             "bf16_ood_hbm": infer_hbm_block(ood16_rate, bps=2 * p * 2 + 512),
+            "measured_500k_500ep_min": _r(measured_500k_min, 2),
+            "northstar_final_loss": ns_final_loss,
+            "northstar_note": "measured_500k_500ep_min is an EXECUTED "
+                              "fit_pallas run: 524288 resident spectra x "
+                              "500 epochs on the production engine "
+                              "(fused-5 launches, mxu_bf16, smoothing "
+                              "every 5 epochs), wall-clock including the "
+                              "chunk compile and per-chunk host syncs; "
+                              "the projected figure derives from the "
+                              "survey-scale rate as in rounds 2-4",
             "projected_500k_500epoch_minutes": _r(minutes_500, 2),
             "north_star_under_10min": (
-                None if minutes_500 is None else minutes_500 < 10.0
+                None
+                if measured_500k_min is None and minutes_500 is None
+                else (measured_500k_min or minutes_500) < 10.0
             ),
             "streaming_note": "768k spectra fit RESIDENT on one chip "
                               "(in-kernel mask + zq-column redshifts, "
@@ -1371,10 +1544,23 @@ def main() -> None:
                 "mxu_flops_per_spectrum": round(fps),
                 "achieved_tflops": round(tflops, 2),
                 "calibrated_peak_tflops_f32_highest": _r(peak_tflops, 2),
-                "mfu_pct": _r(
-                    None if peak_tflops is None
-                    else 100.0 * tflops / peak_tflops
-                ),
+                "calibrated_peak_tflops_bf16": _r(peak_tflops_bf16, 2),
+                "mfu_pct": {
+                    "session": mfu_session,
+                    "best": mfu_best,
+                    "pairs": mfu_pairs,
+                    "r02_r04_methodology_pct": _r(
+                        None if peak_tflops is None
+                        else 100.0 * tflops / peak_tflops
+                    ),
+                    "note": "each pair is an (f32 headline rate, MXU "
+                            "peak) measured ADJACENTLY in one congestion "
+                            "window; session = the late pair, best = max "
+                            "over pairs (quiet-window MFU). The r02-r04 "
+                            "number paired the best-of-run rate with the "
+                            "end-of-run peak, which congestion could "
+                            "skew either way",
+                },
                 "achieved_hbm_read_gbps": round(hbm_gbps, 1),
                 "calibrated_peak_hbm_read_gbps": _r(peak_read_gbps),
                 "hbm_pct": _r(
@@ -1384,9 +1570,6 @@ def main() -> None:
                 "kernel_launches_per_epoch": (
                     1 if train_rate == single_launch_rate else 0.2
                 ),
-                "evaluated_engine": "f32 parity engine (the calibrated "
-                                    "peaks are f32; the mxu_bf16 rate is "
-                                    "reported in extras)",
                 "vpu_peaks_tops": None if vpu_peaks is None else {
                     k: None if v is None else round(v / 1e12, 3)
                     for k, v in vpu_peaks.items()
@@ -1394,8 +1577,23 @@ def main() -> None:
                 "vpu_ops_per_spectrum": kernel_vpu_ops_per_spectrum(
                     p, pb, nh
                 ),
-                "binding_headline_epoch": binding_block(f32_train_rate),
+                "binding_headline_f32": binding_block(
+                    late_f32_rate or f32_train_rate
+                ),
+                "binding_headline_bf16": binding_block(
+                    late_bf16_rate or mxu_bf16_rate, engine="bf16"
+                ),
                 "binding_survey_scale": binding_block(big_rate),
+                "binding_engines_note": "BOTH shipped engines are modeled "
+                        "against their own ceilings (VERDICT r4 #2): "
+                        "binding_headline_f32 prices all dots at the f32 "
+                        "peak; binding_headline_bf16 prices the 6 heavy "
+                        "dots at the calibrated bf16 peak (the engine "
+                        "casts exactly those) with the ones-row "
+                        "reductions and all VPU work f32. Headline "
+                        "bindings use the LATE re-measured rates "
+                        "(adjacent to calibration); the survey binding "
+                        "keeps its mid-run f32 rate",
                 "note": "the kernel is COMPUTE-bound, not GEMM- or "
                         "HBM-bound alone: MXU contractions and VPU "
                         "elementwise work share one serial instruction "
@@ -1426,8 +1624,10 @@ def main() -> None:
     print(json.dumps(result), file=sys.stderr)
     ex = result["extras"]
     rl = ex.get("roofline") or {}
-    bh = rl.get("binding_headline_epoch") or {}
+    bh = rl.get("binding_headline_f32") or {}
+    bhb = rl.get("binding_headline_bf16") or {}
     bs = rl.get("binding_survey_scale") or {}
+    mfu = rl.get("mfu_pct") or {}
     compact = {
         "metric": result["metric"],
         "value": result["value"],
@@ -1446,10 +1646,13 @@ def main() -> None:
             "dp_exact": ex.get("dp_epoch_spectra_per_sec"),
             "whole_epoch_dp": ex.get("whole_epoch_dp_spectra_per_sec"),
             "sync_dp_ratio": ex.get("sync_dp_k1_vs_plain_pair_ratio"),
-            "mfu_pct": rl.get("mfu_pct"),
+            "mfu_pct": mfu.get("session"),
+            "mfu_best_pct": mfu.get("best"),
             "hbm_pct": rl.get("hbm_pct"),
             "bind_headline_pct": bh.get("binding_pct"),
+            "bind_headline_bf16_pct": bhb.get("binding_pct"),
             "bind_survey_pct": bs.get("binding_pct"),
+            "measured_500k_500ep_min": ex.get("measured_500k_500ep_min"),
             "northstar_500k_500ep_min": ex.get(
                 "projected_500k_500epoch_minutes"
             ),

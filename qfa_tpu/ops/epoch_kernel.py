@@ -85,7 +85,20 @@ __all__ = [
     "zq_column",
     "loglam_row",
     "ZQ_LANES",
+    "ABLATE_SECTIONS",
 ]
+
+#: Instrumentation-only kernel sections that can be stubbed out for the
+#: measured per-section VPU census (tools/vpu_census.py). Ablated kernels
+#: produce WRONG numerics by design — never use outside timing studies.
+#:   tau    — the blue-lane absorption chain (4 exps + ~12 simple ops)
+#:   fwd    — the masked-variance d/w/u assembly (blue/red split + concats)
+#:   qlog   — the quad+logdet fold's log(d) term
+#:   bwd    — the dd cotangent chain + blue backward elementwise products
+#:   gsums  — the six per-batch gradient-row accumulations (TB reduces)
+#:   small  — the per-spectrum Cholesky/solves/K^-1/S build (smallwork)
+#:   epi    — the per-batch optimizer epilogue (_finish_and_update)
+ABLATE_SECTIONS = ("tau", "fwd", "qlog", "bwd", "gsums", "small", "epi")
 
 #: Fixed lane width of the ``derive_zabs`` zq-column ABI: lane 0 =
 #: ``log1p(zqso)``, lane 1 = row weight (1 real / 0 padding), rest zero.
@@ -232,6 +245,8 @@ def _epoch_kernel(
     sync_grads: bool,  #: exact-DP window mode: apply an incoming (psum'd)
     #: gradient at launch start, output the LAST batch's raw gradient
     #: accumulators instead of applying them (parallel.sync_dp)
+    ablate: frozenset,  #: timing-census section stubs (ABLATE_SECTIONS);
+    #: empty in every production path
 ):
     mask_ref = None
     if not derive_mask:
@@ -296,6 +311,8 @@ def _epoch_kernel(
     # pending gradient of the previous launch's last batch. It reads only
     # refs/scratch, so both call sites see identical semantics.
     def _finish_and_update():
+        if "epi" in ablate:  # census stub: measure the epilogue's cost
+            return
         # per-epoch scheduled LR and bias correction: row e of the hyper
         # table (the reference's Adam counter advances once per epoch,
         # /root/reference/QFA/optimizer.py:49-69)
@@ -472,7 +489,19 @@ def _epoch_kernel(
     if not split:
         pb = p_lanes  # downstream [:pb] slices become full-width
     blue_b = blue[:, :pb] if split else blue
-    if derive_zabs:
+    if "tau" in ablate:
+        # census stub: the absorption chain's outputs replaced by cheap
+        # constants of the same shapes (removes 4 exps + the blue simple
+        # chain; numerics are garbage by design)
+        ones_b = jnp.zeros((tb, pb), f32) + 1.0
+        tau_line = ones_b
+        zp1b = ones_b
+        log_zp1 = ones_b
+        amp_b = ones_b
+        exp_neg = 0.5 * ones_b
+        root = 0.5 * ones_b
+        zdep_b = blue_b * ones_b
+    elif derive_zabs:
         # zabs never touches HBM: the (TB, lanes) input carries only
         # log1p(zqso) in lane 0, and log(1 + zabs) = log1p(zqso) +
         # log(lam/lam_lya) is an outer ADD against a static row. All the
@@ -490,13 +519,22 @@ def _epoch_kernel(
         tau_line = law_a * zp1**law_b + law_c
         zp1b = zp1**beta
         log_zp1 = jnp.log(zp1)
-    amp_b = jnp.where(blue_b > 0, jnp.exp(-tau_line), 1.0)  # (TB, PB)
-    tau_hi = tau0 * zp1b
-    exp_neg = jnp.exp(-tau_hi)
-    root = 1.0 - c0 - exp_neg
-    zdep_b = jnp.where(blue_b > 0, root * root, 0.0)
+    if "tau" not in ablate:
+        amp_b = jnp.where(blue_b > 0, jnp.exp(-tau_line), 1.0)  # (TB, PB)
+        tau_hi = tau0 * zp1b
+        exp_neg = jnp.exp(-tau_hi)
+        root = 1.0 - c0 - exp_neg
+        zdep_b = jnp.where(blue_b > 0, root * root, 0.0)
     delta_m = delta * m
-    if split:
+    if "fwd" in ablate:
+        # census stub: the masked-variance assembly (blue/red split,
+        # concats, amp/omega products) replaced by a flat plane
+        d = err * err + 1.0
+        d_safe = jnp.where(m > 0, d, 1.0)
+        dinv = m / d_safe
+        w_row = dinv
+        u_row = dinv * delta_m
+    elif split:
         err_b = err[:, :pb]
         # red side: amp = 1, zdep = 0 -> d = psi + err^2. Computed FULL
         # width and sliced: Mosaic cannot broadcast a (1, X) row slice at
@@ -529,7 +567,10 @@ def _epoch_kernel(
     # quad and logdet enter the NLL only as a SUM — folding them into one
     # plane halves their lane reductions (each (1, P) x (TB, P) ones-dot
     # costs a full MXU block-pass regardless of its single output row)
-    ql_row = q_row + m * jnp.log(d_safe)
+    if "qlog" in ablate:
+        ql_row = q_row  # census stub: drop the logdet-d term (the log)
+    else:
+        ql_row = q_row + m * jnp.log(d_safe)
 
     rhst = rhst_scr[...]
 
@@ -578,10 +619,19 @@ def _epoch_kernel(
     for a in range(nh):
         k_cols[a * nh + a] = k_cols[a * nh + a] + 1.0
     w_cols = [w_t[a : a + 1, :] for a in range(nh)]
-    chol = _chol_t(k_cols, nh)
-    y = _solve_lower_t(chol, w_cols, nh)
-    alpha = _solve_upper_t(chol, y, nh)
-    logdet_k = 2.0 * sum(jnp.log(chol[a][a]) for a in range(nh))
+    if "small" in ablate:
+        # census stub: skip the whole per-spectrum small-matrix chain
+        # (Cholesky, two triangular solves, the sparse K^-1 columns and
+        # the S build) — alpha/y/s reuse already-computed rows
+        chol = None
+        y = w_cols
+        alpha = w_cols
+        logdet_k = 0.0
+    else:
+        chol = _chol_t(k_cols, nh)
+        y = _solve_lower_t(chol, w_cols, nh)
+        alpha = _solve_upper_t(chol, y, nh)
+        logdet_k = 2.0 * sum(jnp.log(chol[a][a]) for a in range(nh))
     nll_b = 0.5 * (
         sum_ql - sum(yi * yi for yi in y) + n_obs * LOG_2PI + logdet_k
     )  # (1, TB)
@@ -621,13 +671,17 @@ def _epoch_kernel(
     # (w = 1 diag, 2 off-diag), and the accumulated dG rows land directly
     # as dG[ab] + dG[ba].
     s_tri = [None] * ntri
-    for b in range(nh):
-        mj = _kinv_column(chol, b, nh)
-        for a in range(b, nh):
-            w_ab = 1.0 if a == b else 2.0
-            s_tri[_tri_idx(a, b)] = w_ab * 0.5 * (
-                mj[a] + alpha[a] * alpha[b]
-            )
+    if "small" in ablate:
+        for t in range(ntri):  # census stub: reuse rows, no K^-1/S math
+            s_tri[t] = k_t[t : t + 1, :]
+    else:
+        for b in range(nh):
+            mj = _kinv_column(chol, b, nh)
+            for a in range(b, nh):
+                w_ab = 1.0 if a == b else 2.0
+                s_tri[_tri_idx(a, b)] = w_ab * 0.5 * (
+                    mj[a] + alpha[a] * alpha[b]
+                )
     s_t = jnp.concatenate(s_tri, axis=0)  # (ntri, TB)
     alpha_t = jnp.concatenate(alpha, axis=0)  # (nh, TB)
 
@@ -655,36 +709,48 @@ def _epoch_kernel(
         axis=0,
     )
 
-    # dinv = m / d_safe, so multiplying by it both divides and masks —
-    # one fewer per-pixel divide than (.../d_safe) * m
-    dd = (-(dw_pix * w_row + du_pix * u_row + 0.5 * q_row) + 0.5 * m) * dinv
-    dd_b = dd[:, :pb] if split else dd
-    dzdep = dd_b * (omega_row[:, :pb] if split else omega_row)
-    droot2 = dzdep * 2.0 * root * blue_b
-    dtau_hi = droot2 * exp_neg
-
-    if split:
-        dpsi_op = jnp.concatenate(
-            [dd_b * amp_b * amp_b, dd[:, pb:]], axis=1  # red: amp = 1
-        )
+    if "bwd" in ablate:
+        # census stub: the dd cotangent chain + blue backward elementwise
+        dd = m
+        dd_b = dd[:, :pb] if split else dd
+        dzdep = dd_b
+        droot2 = dd_b
+        dtau_hi = dd_b
+        dpsi_op = dd
     else:
-        dpsi_op = dd_b * amp_b * amp_b
-    grows_scr[G_DPSI : G_DPSI + 1, :] += jnp.sum(
-        dpsi_op, axis=0, keepdims=True
-    )
-    grows_scr[G_DOMEGA : G_DOMEGA + 1, :pb] += jnp.sum(
-        dd_b * zdep_b, axis=0, keepdims=True
-    )
-    grows_scr[G_CNT : G_CNT + 1, :] += jnp.sum(m, axis=0, keepdims=True)
-    grows_scr[G_DT0 : G_DT0 + 1, :pb] += jnp.sum(
-        dtau_hi * zp1b, axis=0, keepdims=True
-    )
-    grows_scr[G_DC0 : G_DC0 + 1, :pb] += jnp.sum(
-        -droot2, axis=0, keepdims=True
-    )
-    grows_scr[G_DBETA : G_DBETA + 1, :pb] += jnp.sum(
-        dtau_hi * tau0 * zp1b * log_zp1, axis=0, keepdims=True
-    )
+        # dinv = m / d_safe, so multiplying by it both divides and masks —
+        # one fewer per-pixel divide than (.../d_safe) * m
+        dd = (
+            -(dw_pix * w_row + du_pix * u_row + 0.5 * q_row) + 0.5 * m
+        ) * dinv
+        dd_b = dd[:, :pb] if split else dd
+        dzdep = dd_b * (omega_row[:, :pb] if split else omega_row)
+        droot2 = dzdep * 2.0 * root * blue_b
+        dtau_hi = droot2 * exp_neg
+
+        if split:
+            dpsi_op = jnp.concatenate(
+                [dd_b * amp_b * amp_b, dd[:, pb:]], axis=1  # red: amp = 1
+            )
+        else:
+            dpsi_op = dd_b * amp_b * amp_b
+    if "gsums" not in ablate:
+        grows_scr[G_DPSI : G_DPSI + 1, :] += jnp.sum(
+            dpsi_op, axis=0, keepdims=True
+        )
+        grows_scr[G_DOMEGA : G_DOMEGA + 1, :pb] += jnp.sum(
+            dd_b * zdep_b, axis=0, keepdims=True
+        )
+        grows_scr[G_CNT : G_CNT + 1, :] += jnp.sum(m, axis=0, keepdims=True)
+        grows_scr[G_DT0 : G_DT0 + 1, :pb] += jnp.sum(
+            dtau_hi * zp1b, axis=0, keepdims=True
+        )
+        grows_scr[G_DC0 : G_DC0 + 1, :pb] += jnp.sum(
+            -droot2, axis=0, keepdims=True
+        )
+        grows_scr[G_DBETA : G_DBETA + 1, :pb] += jnp.sum(
+            dtau_hi * tau0 * zp1b * log_zp1, axis=0, keepdims=True
+        )
 
 
     # -- batch end: record the loss books, then update (or, in sync mode,
@@ -792,7 +858,7 @@ def _validate_zq(zabs: Array, loglam, n: int) -> None:
     static_argnames=(
         "n_batches", "n_epochs", "tile_batch", "tau_which", "reference_norm",
         "mxu_bf16", "interpret", "derive_zabs", "sync_grads",
-        "tiles_per_batch",
+        "tiles_per_batch", "ablate",
     ),
 )
 def fused_train_epoch(
@@ -827,6 +893,7 @@ def fused_train_epoch(
     tiles_per_batch: int | None = None,
     pending: tuple[Array, Array, Array] | None = None,
     apply_pending: Array | None = None,
+    ablate: tuple = (),
 ) -> EpochOutputs:
     """Run one (or several) full training epochs in a single Pallas launch.
 
@@ -882,6 +949,10 @@ def fused_train_epoch(
             Loss bookkeeping, counts, the Cholesky/solve chain and the
             scalar-gradient lane sums stay f32. Off by default (the
             default engine is loss-curve-parity with the XLA path).
+        ablate: timing-census instrumentation ONLY (tools/vpu_census.py):
+            kernel sections from :data:`ABLATE_SECTIONS` to stub out with
+            shape-preserving constants. Ablated kernels return garbage
+            numerics by design; every production path passes ``()``.
 
     ``sync_grads`` (the exact-DP window mode, ``parallel.sync_dp``): the
     launch covers only the WINDOW of batches named by ``tile_perm``
@@ -1043,11 +1114,17 @@ def fused_train_epoch(
     ):
         scal0 = scal0.at[0, slot].set(jnp.asarray(val, f32))
 
+    bad = set(ablate) - set(ABLATE_SECTIONS)
+    if bad:
+        raise ValueError(
+            f"unknown ablate sections {sorted(bad)}; valid: "
+            f"{ABLATE_SECTIONS} (timing-census instrumentation only)"
+        )
     kernel = functools.partial(
         _epoch_kernel, nh=nh, tb=tb, tpb=tpb, n_batches=n_batches,
         n_epochs=n_epochs, derive_mask=mask is None, derive_zabs=derive_zabs,
         pb=min(_round_up(nb, 128), p), p_lanes=p, mxu_bf16=mxu_bf16,
-        sync_grads=sync_grads,
+        sync_grads=sync_grads, ablate=frozenset(ablate),
     )
     # per-epoch stride through the (flattened) perm; == n_tiles for whole
     # epochs, n_batches*tpb for sync windows (perm VALUES stay absolute
