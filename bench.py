@@ -52,7 +52,10 @@ def kernel_flops_per_spectrum(p: int, pb: int, nh: int) -> float:
     # 6 heavy dots (k/w projections + 4 backward contractions) at
     # (ntri + nh) rows each over p lanes, plus 3 full-width lane
     # reductions (the folded quad+logdet plane and the merged
-    # [ones; blue] x m count pass)
+    # [ones; blue] x m count pass). The 7 gradient-row accumulations are
+    # VPU halving-tree adds (ones-row MXU dots measured slower —
+    # docs/CENSUS_r05.json), so they are counted in
+    # kernel_vpu_ops_per_spectrum, not here.
     ntri = nh * (nh + 1) // 2
     return 2.0 * p * (3 * (ntri + nh) + 3)
 
@@ -65,8 +68,12 @@ def kernel_vpu_ops_per_spectrum(p: int, pb: int, nh: int) -> dict:
 
     * BLUE lanes (pb): logzp1 2; tau_line 2; zp1b 1; amp 2; tau_hi 1;
       root 1; zdep 2; d_b 6; w_b 2; u_b 2; dzdep 1; droot2 3;
-      dtau_hi 1; dpsi-blue 2; 4 gradient-row operands+reduces 2+2+2+4
-      -> 38 simple + 4 exp.
+      dtau_hi 1; dpsi-blue 2; gradient-row operands+reduces (domega
+      1+1, dtz 1+1, dc0 1, dbeta 1+1) -> 35 simple + 4 exp. (Round 5:
+      the shared dtz product plus the tau0/negation hoists removed 3
+      (TB, PB) traversals; the reductions themselves stay jnp.sum —
+      ones-row MXU dots and explicit halving trees both measured no
+      faster, docs/CENSUS_r05.json.)
     * RED-only lanes (p - pb): u_r 1 -> 1 simple.
     * FULL width (p): mask cmp+cast 2; delta_m 1; base_r 2; d concat 1;
       d_safe 2; w/u/dpsi concats 3; q_row 2; ql_row (logd mul + add) 2;
@@ -77,7 +84,7 @@ def kernel_vpu_ops_per_spectrum(p: int, pb: int, nh: int) -> dict:
       cost at ALU peak is 8x its element count -> ~ 2.3 nh^3 * 8
       equivalent element-ops per spectrum (the tile size TB cancels).
     """
-    simple = 38 * pb + 1 * (p - pb) + 25 * p
+    simple = 35 * pb + 1 * (p - pb) + 25 * p
     smallwork = int(2.3 * nh**3) * 8
     return dict(
         simple=simple + smallwork,
@@ -507,6 +514,19 @@ def run_smoke(full: bool = True) -> dict:
             jnp.arange(4, dtype=jnp.int32), b2.mask,
             epoch=jnp.asarray(0, jnp.int32), n_batches=2, tile_batch=8,
             n_epochs=2,
+        ).compile())
+        # ultra-wide grid (~13k lanes, past the widest measured = DESI's
+        # 9.3k): proves the 128-row tile floor default_tile_batch assumes
+        # for arbitrarily wide grids still lowers on the real toolchain
+        # (ops/infer_kernel.py docstring)
+        gridw = qfa_tpu.make_grid(1113.5772, 1600.0, 1.2085e-05)
+        paramsw = random_init(jax.random.key(2), gridw.npix, gridw.nb, 3)
+        muw = jnp.ones((gridw.npix,), jnp.float32)
+        synw = generate(jax.random.key(3), paramsw, muw, gridw, 128,
+                        mask_frac=0.2)
+        check("predict_ultrawide_tile128", lambda: fused_predict.lower(
+            paramsw, muw, synw.flux * synw.mask, synw.error * synw.mask,
+            synw.zabs, synw.mask, tile_batch=128,
         ).compile())
         check("predict_split_stats_only", lambda: fused_predict.lower(
             params2, mu2, syn2.flux * syn2.mask, syn2.error * syn2.mask,

@@ -91,14 +91,22 @@ __all__ = [
 #: Instrumentation-only kernel sections that can be stubbed out for the
 #: measured per-section VPU census (tools/vpu_census.py). Ablated kernels
 #: produce WRONG numerics by design — never use outside timing studies.
-#:   tau    — the blue-lane absorption chain (4 exps + ~12 simple ops)
-#:   fwd    — the masked-variance d/w/u assembly (blue/red split + concats)
-#:   qlog   — the quad+logdet fold's log(d) term
-#:   bwd    — the dd cotangent chain + blue backward elementwise products
-#:   gsums  — the six per-batch gradient-row accumulations (TB reduces)
-#:   small  — the per-spectrum Cholesky/solves/K^-1/S build (smallwork)
-#:   epi    — the per-batch optimizer epilogue (_finish_and_update)
-ABLATE_SECTIONS = ("tau", "fwd", "qlog", "bwd", "gsums", "small", "epi")
+#:   tau     — the blue-lane absorption chain (4 exps + ~12 simple ops)
+#:   fwd     — the masked-variance d/w/u assembly (blue/red split + concats)
+#:   qlog    — the quad+logdet fold's log(d) term
+#:   bwd     — the dd cotangent chain + blue backward elementwise products
+#:             (dd = m also lets the compiler delete the dw/du dots)
+#:   bwddots — ONLY the dw_pix/du_pix backward contractions (stubbed to
+#:             w_row/u_row): isolates the two MXU dots + any output
+#:             relayout from the elementwise chain the plain bwd stub
+#:             removes along with them
+#:   gsums   — the per-batch gradient-row accumulations (operand products
+#:             + the 7 MXU ones-row dots)
+#:   small   — the per-spectrum Cholesky/solves/K^-1/S build (smallwork)
+#:   epi     — the per-batch optimizer epilogue (_finish_and_update)
+ABLATE_SECTIONS = (
+    "tau", "fwd", "qlog", "bwd", "bwddots", "gsums", "small", "epi"
+)
 
 #: Fixed lane width of the ``derive_zabs`` zq-column ABI: lane 0 =
 #: ``log1p(zqso)``, lane 1 = row weight (1 real / 0 padding), rest zero.
@@ -685,12 +693,18 @@ def _epoch_kernel(
     s_t = jnp.concatenate(s_tri, axis=0)  # (ntri, TB)
     alpha_t = jnp.concatenate(alpha, axis=0)  # (nh, TB)
 
-    dw_pix = dot_big(
-        s_t, rhst_scr[0:ntri, :], (((0,), (0,)), ((), ()))
-    )  # (TB, P)
-    du_pix = dot_big(
-        -alpha_t, rhst_scr[ntri : ntri + nh, :], (((0,), (0,)), ((), ()))
-    )
+    if "bwddots" in ablate:
+        # census stub: reuse existing planes so ONLY the two backward
+        # contractions (and any output relayout) disappear
+        dw_pix = w_row
+        du_pix = u_row
+    else:
+        dw_pix = dot_big(
+            s_t, rhst_scr[0:ntri, :], (((0,), (0,)), ((), ()))
+        )  # (TB, P)
+        du_pix = dot_big(
+            -alpha_t, rhst_scr[ntri : ntri + nh, :], (((0,), (0,)), ((), ()))
+        )
 
     # two accumulation dots, each contracting only TB: the old fused
     # [s|0; 0|-alpha] @ [w; u] form padded the contraction to 2TB and
@@ -735,6 +749,13 @@ def _epoch_kernel(
         else:
             dpsi_op = dd_b * amp_b * amp_b
     if "gsums" not in ablate:
+        # Per-pixel gradient rows accumulate through Mosaic's native
+        # sublane reduction. Measured alternatives (round 5, interleaved
+        # A/B on the v5e): ones-row MXU dots are ~15 ns/spectrum SLOWER
+        # (fixed multi-pass issue cost per dot) and an explicit halving
+        # tree of block adds is time-identical to jnp.sum — the
+        # reduction's cost is intrinsic VMEM traffic, not the lowering
+        # pattern (docs/CENSUS_r05.json).
         grows_scr[G_DPSI : G_DPSI + 1, :] += jnp.sum(
             dpsi_op, axis=0, keepdims=True
         )
@@ -742,14 +763,18 @@ def _epoch_kernel(
             dd_b * zdep_b, axis=0, keepdims=True
         )
         grows_scr[G_CNT : G_CNT + 1, :] += jnp.sum(m, axis=0, keepdims=True)
+        # dtz is shared by the tau0 and beta rows; tau0 (a scalar) and the
+        # dC0 negation are hoisted OUT of the plane products onto the
+        # summed (1, PB) rows — three fewer (TB, PB) traversals
+        dtz = dtau_hi * zp1b
         grows_scr[G_DT0 : G_DT0 + 1, :pb] += jnp.sum(
-            dtau_hi * zp1b, axis=0, keepdims=True
+            dtz, axis=0, keepdims=True
         )
-        grows_scr[G_DC0 : G_DC0 + 1, :pb] += jnp.sum(
-            -droot2, axis=0, keepdims=True
+        grows_scr[G_DC0 : G_DC0 + 1, :pb] += -jnp.sum(
+            droot2, axis=0, keepdims=True
         )
-        grows_scr[G_DBETA : G_DBETA + 1, :pb] += jnp.sum(
-            dtau_hi * tau0 * zp1b * log_zp1, axis=0, keepdims=True
+        grows_scr[G_DBETA : G_DBETA + 1, :pb] += tau0 * jnp.sum(
+            dtz * log_zp1, axis=0, keepdims=True
         )
 
 

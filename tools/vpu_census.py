@@ -140,6 +140,10 @@ def main():
     # ---- statement-walk predictions per section ---------------------------
     # (the very counts bench.kernel_vpu_ops_per_spectrum aggregates, split
     # by ablation section; see that function's docstring for the tally)
+    # NOTE on stub DCE: a stub that stops USING an MXU dot's output lets
+    # the compiler delete the dot, so that section's measured delta
+    # includes the dot's MXU time — the "mxu" key prices that in.
+    ntri = NH * (NH + 1) // 2
     pred_ops = {
         "tau": dict(simple=11 * pb, exp=4 * pb),
         # stub keeps err*err + 1.0 (2P) and the d_safe/dinv chain; removes
@@ -147,8 +151,16 @@ def main():
         # + red u (P-PB)
         "fwd": dict(simple=3 * p + 10 * pb + (p - pb)),
         "qlog": dict(simple=2 * p, log=p),
-        "bwd": dict(simple=8 * p + 7 * pb),
-        "gsums": dict(simple=2 * p + 10 * pb),
+        # dd chain (8P) + blue backward elementwise incl. dpsi concat
+        # (7PB); dd = m also DCEs the dw_pix/du_pix backward
+        # contractions (2(ntri+nh)P flops)
+        "bwd": dict(simple=8 * p + 7 * pb, mxu=2 * (ntri + NH) * p),
+        # ONLY the two backward contractions (+ output relayout, if any)
+        "bwddots": dict(mxu=2 * (ntri + NH) * p),
+        # operand products (3PB after the dtz/tau0/neg hoists) + the 6
+        # jnp.sum reductions (2 full-width + 4 blue, ~1 add/lane each
+        # at walk rate; measured ~5x that — intrinsic VMEM traffic)
+        "gsums": dict(simple=3 * pb + 2 * p + 4 * pb),
         "small": dict(simple=int(2.3 * NH**3) * 8),
         "epi": dict(simple=0),  # per-batch, not per-spectrum: no walk pred
     }
@@ -159,6 +171,8 @@ def main():
         t = ops.get("simple", 0) / vpu["fma"]
         t += ops.get("exp", 0) / vpu["exp"]
         t += ops.get("log", 0) / vpu["log"]
+        if mxu_tflops:
+            t += ops.get("mxu", 0) / (mxu_tflops * 1e12)
         return round(t * 1e9, 2)
 
     # ---- per-section measured deltas --------------------------------------
