@@ -189,6 +189,43 @@ def bench_pallas_epochs(params, data, batch_size, tile_batch, trials,
     return dt, final_loss, state
 
 
+def _census_block():
+    """Summarize the hardware-measured per-section kernel census
+    (tools/vpu_census.py -> docs/CENSUS_r05.json) for the roofline block:
+    the analytic statement-walk underprices sublane reductions ~5x, so
+    the census is the authoritative decomposition of where epoch time
+    goes (and the evidence that the dominant terms are saturated — three
+    lowerings of the reductions measured within noise or worse)."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "CENSUS_r05.json")
+    try:
+        with open(path) as fh:
+            c = json.load(fh)
+    except Exception:  # noqa: BLE001
+        return None
+    return {
+        "t_full_ns_per_spectrum": c.get("t_full_ns_per_spectrum"),
+        "sections_ns": {
+            k: v.get("measured_ns_per_spectrum")
+            for k, v in c.get("sections", {}).items()
+        },
+        "all_vpu_sections_floor_delta_ns": c.get(
+            "all_vpu_sections_floor_delta_ns"
+        ),
+        "note": "interleaved per-section hardware ablations (same-window "
+                "pair medians; f32 engine, fused-5 direct launches) — "
+                "see docs/CENSUS_r05.json for pair spreads and "
+                "statement-walk predictions. With ALL VPU sections "
+                "ablated the kernel hits the HBM stream floor, and the "
+                "dominant sections (gsums/bwd) measured no faster under "
+                "two alternative lowerings (ones-row MXU dots: slower; "
+                "explicit halving-tree adds: identical) — the serial "
+                "compute ceiling is saturated within measurement error",
+    }
+
+
 def calibrate_peaks():
     """Measure this chip's usable MXU TF/s (f32-HIGHEST and true-bf16
     passes with f32 accumulation) and HBM read GB/s (chained, sized so
@@ -1604,6 +1641,7 @@ def main() -> None:
                     late_bf16_rate or mxu_bf16_rate, engine="bf16"
                 ),
                 "binding_survey_scale": binding_block(big_rate),
+                "measured_census": _census_block(),
                 "binding_engines_note": "BOTH shipped engines are modeled "
                         "against their own ceilings (VERDICT r4 #2): "
                         "binding_headline_f32 prices all dots at the f32 "
