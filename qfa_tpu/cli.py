@@ -281,6 +281,7 @@ def run_train(cfg: ConfigNode) -> None:
         save_interval=cfg.TRAIN.SAVE_INTERVAL,
         reference_norm=cfg.TRAIN.REFERENCE_NORM,
         mxu_bf16=cfg.TRAIN.MXU_BF16,
+        bwd_wide=cfg.TRAIN.BWD_WIDE,
         options=ModelOptions(tau_which=cfg.MODEL.TAU),
     )
     if cfg.TRAIN.MXU_BF16 and use_pallas:

@@ -202,6 +202,12 @@ def default_config() -> ConfigNode:
                 #: mode is the production trainer. Set false for bitwise
                 #: f32 loss-curve parity with the XLA path.
                 "MXU_BF16": True,
+                #: Pallas engine: fuse the two backward cotangent dots
+                #: into ONE block-diag contraction. Bitwise-identical
+                #: trajectory (the zero blocks add exact +0.0 terms);
+                #: pays the kernel's measured K-flat fixed per-dot issue
+                #: cost once instead of twice (docs/BWDWIDE_r05.json).
+                "BWD_WIDE": False,
                 #: Pallas engine: epochs fused into ONE kernel launch
                 #: (amortizes the fixed dispatch cost, ~+9% epoch rate on
                 #: v5e at 5). Chunks auto-align to every smoothing/saving

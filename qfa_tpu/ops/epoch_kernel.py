@@ -100,12 +100,18 @@ __all__ = [
 #:             w_row/u_row): isolates the two MXU dots + any output
 #:             relayout from the elementwise chain the plain bwd stub
 #:             removes along with them
+#:   dwdot   — ONLY the dw_pix (K=ntri) contraction: its in-kernel
+#:             marginal cost (docs/KDEPTH_r05.json showed these dots pay
+#:             a K-flat fixed pass cost standalone; this splits the
+#:             in-kernel pair)
+#:   dudot   — ONLY the du_pix (K=nh) contraction
 #:   gsums   — the per-batch gradient-row accumulations (operand products
 #:             + the 7 MXU ones-row dots)
 #:   small   — the per-spectrum Cholesky/solves/K^-1/S build (smallwork)
 #:   epi     — the per-batch optimizer epilogue (_finish_and_update)
 ABLATE_SECTIONS = (
-    "tau", "fwd", "qlog", "bwd", "bwddots", "gsums", "small", "epi"
+    "tau", "fwd", "qlog", "bwd", "bwddots", "dwdot", "dudot", "gsums",
+    "small", "epi"
 )
 
 #: Fixed lane width of the ``derive_zabs`` zq-column ABI: lane 0 =
@@ -253,9 +259,19 @@ def _epoch_kernel(
     sync_grads: bool,  #: exact-DP window mode: apply an incoming (psum'd)
     #: gradient at launch start, output the LAST batch's raw gradient
     #: accumulators instead of applying them (parallel.sync_dp)
+    bwd_wide: bool,  #: fuse the two backward cotangent dots into ONE
+    #: K=(ntri+nh) contraction against a block-diag [[gram,0],[0,F]]
+    #: (rc2, 2P) scratch whose (TB, 2P) output is [dw_pix | du_pix]:
+    #: in-kernel each (.,TB)@(.,P) dot pays a ~3.7-3.9 us fixed issue
+    #: cost regardless of K (measured, docs/CENSUS_r05.json dwdot/dudot
+    #: + docs/KDEPTH_r05.json), so one wide dot halves that
     ablate: frozenset,  #: timing-census section stubs (ABLATE_SECTIONS);
     #: empty in every production path
 ):
+    rhs2_scr = None
+    if bwd_wide:
+        *rest, rhs2_scr = rest
+        rest = tuple(rest)
     mask_ref = None
     if not derive_mask:
         mask_ref, *rest = rest
@@ -288,6 +304,13 @@ def _epoch_kernel(
     ntri = len(pairs)  # nh(nh+1)/2 lower-triangle Gram rows
     ones_row = ntri + nh
 
+    def _sync_rhs2():
+        # refresh the block-diag backward contraction matrix from the
+        # (just rebuilt) gram/F rows; the zero blocks were cleared once
+        # at launch init and are never touched again
+        rhs2_scr[0:ntri, 0:p_lanes] = rhst_scr[0:ntri, :]
+        rhs2_scr[ntri : ntri + nh, p_lanes:] = rhst_scr[ntri : ntri + nh, :]
+
     # -- one-time init (first grid step of the whole launch) -----------------
     @pl.when(jnp.logical_and(e == 0, jnp.logical_and(i == 0, j == 0)))
     def _init_epoch():
@@ -305,6 +328,9 @@ def _epoch_kernel(
         rhst_scr[ones_row : ones_row + 1, :] = jnp.ones_like(
             rhst_scr[ones_row : ones_row + 1, :]
         )
+        if bwd_wide:
+            rhs2_scr[...] = jnp.zeros_like(rhs2_scr)
+            _sync_rhs2()
 
     # -- per-batch reset ----------------------------------------------------
     @pl.when(j == 0)
@@ -438,6 +464,8 @@ def _epoch_kernel(
             rhst_scr[ntri + a : ntri + a + 1, :] = new_f_rows[a]
         for t, (a, b) in enumerate(pairs):
             rhst_scr[t : t + 1, :] = new_f_rows[a] * new_f_rows[b]
+        if bwd_wide:
+            _sync_rhs2()
 
     if sync_grads:
         # -- launch start: apply the incoming (psum'd) gradient ---------------
@@ -698,13 +726,32 @@ def _epoch_kernel(
         # contractions (and any output relayout) disappear
         dw_pix = w_row
         du_pix = u_row
+    elif bwd_wide:
+        # ONE K=(ntri+nh) dot against the block-diag rhs2: the (TB, 2P)
+        # output is [dw_pix | du_pix] side by side. The zero blocks
+        # contribute exact +0.0 terms, so both halves are bitwise equal
+        # to the two-dot path; the fixed per-dot issue cost (~3.7-3.9 us
+        # at TB=256, measured K-flat) is paid ONCE instead of twice.
+        lhs44 = jnp.concatenate([s_t, -alpha_t], axis=0)
+        wide = dot_big(
+            lhs44, rhs2_scr[0 : ntri + nh, :], (((0,), (0,)), ((), ()))
+        )  # (TB, 2P)
+        dw_pix = wide[:, :p_lanes]
+        du_pix = wide[:, p_lanes:]
     else:
-        dw_pix = dot_big(
-            s_t, rhst_scr[0:ntri, :], (((0,), (0,)), ((), ()))
-        )  # (TB, P)
-        du_pix = dot_big(
-            -alpha_t, rhst_scr[ntri : ntri + nh, :], (((0,), (0,)), ((), ()))
-        )
+        if "dwdot" in ablate:  # census stub: the K=ntri dot alone
+            dw_pix = w_row
+        else:
+            dw_pix = dot_big(
+                s_t, rhst_scr[0:ntri, :], (((0,), (0,)), ((), ()))
+            )  # (TB, P)
+        if "dudot" in ablate:  # census stub: the K=nh dot alone
+            du_pix = u_row
+        else:
+            du_pix = dot_big(
+                -alpha_t, rhst_scr[ntri : ntri + nh, :],
+                (((0,), (0,)), ((), ())),
+            )
 
     # two accumulation dots, each contracting only TB: the old fused
     # [s|0; 0|-alpha] @ [w; u] form padded the contraction to 2TB and
@@ -883,7 +930,7 @@ def _validate_zq(zabs: Array, loglam, n: int) -> None:
     static_argnames=(
         "n_batches", "n_epochs", "tile_batch", "tau_which", "reference_norm",
         "mxu_bf16", "interpret", "derive_zabs", "sync_grads",
-        "tiles_per_batch", "ablate",
+        "tiles_per_batch", "ablate", "bwd_wide",
     ),
 )
 def fused_train_epoch(
@@ -913,6 +960,7 @@ def fused_train_epoch(
     tau_which: str = "becker",
     reference_norm: bool = True,
     mxu_bf16: bool = False,
+    bwd_wide: bool = False,
     interpret: bool = False,
     sync_grads: bool = False,
     tiles_per_batch: int | None = None,
@@ -974,6 +1022,14 @@ def fused_train_epoch(
             Loss bookkeeping, counts, the Cholesky/solve chain and the
             scalar-gradient lane sums stay f32. Off by default (the
             default engine is loss-curve-parity with the XLA path).
+        bwd_wide: fuse the two backward cotangent contractions (dw_pix:
+            K=ntri against the Gram rows; du_pix: K=nh against F) into
+            ONE K=(ntri+nh) dot whose rhs is a block-diag
+            ``[[gram, 0], [0, F]]`` scratch and whose (TB, 2P) output is
+            ``[dw_pix | du_pix]``. Bitwise-identical results (the zero
+            blocks contribute exact +0.0 terms); pays the measured
+            ~3.7-3.9 us K-flat per-dot issue cost once instead of twice
+            (docs/CENSUS_r05.json dwdot/dudot, docs/KDEPTH_r05.json).
         ablate: timing-census instrumentation ONLY (tools/vpu_census.py):
             kernel sections from :data:`ABLATE_SECTIONS` to stub out with
             shape-preserving constants. Ablated kernels return garbage
@@ -1041,6 +1097,7 @@ def fused_train_epoch(
     # explicitly here (ops.validate) and raised as actionable errors.
     from .validate import validate_epoch_kernel
 
+    rc2 = _round_up(ntri + nh, 8)  # bwd_wide block-diag rhs sublanes
     _streamed_planes = [delta, error]
     if not derive_zabs:
         _streamed_planes.append(zabs)
@@ -1053,6 +1110,7 @@ def fused_train_epoch(
         bf16_streams=sum(
             1 for x in _streamed_planes if x.dtype == jnp.bfloat16
         ),
+        wide_rows=rc2 if bwd_wide else 0,
         interpret=interpret,
     )
 
@@ -1145,11 +1203,17 @@ def fused_train_epoch(
             f"unknown ablate sections {sorted(bad)}; valid: "
             f"{ABLATE_SECTIONS} (timing-census instrumentation only)"
         )
+    if bwd_wide and ({"dwdot", "dudot"} & set(ablate)):
+        raise ValueError(
+            "the dwdot/dudot census splits measure the TWO-dot backward "
+            "path; with bwd_wide there is a single fused contraction — "
+            "ablate 'bwddots' instead"
+        )
     kernel = functools.partial(
         _epoch_kernel, nh=nh, tb=tb, tpb=tpb, n_batches=n_batches,
         n_epochs=n_epochs, derive_mask=mask is None, derive_zabs=derive_zabs,
         pb=min(_round_up(nb, 128), p), p_lanes=p, mxu_bf16=mxu_bf16,
-        sync_grads=sync_grads, ablate=frozenset(ablate),
+        sync_grads=sync_grads, bwd_wide=bwd_wide, ablate=frozenset(ablate),
     )
     # per-epoch stride through the (flattened) perm; == n_tiles for whole
     # epochs, n_batches*tpb for sync windows (perm VALUES stay absolute
@@ -1221,6 +1285,8 @@ def fused_train_epoch(
             pltpu.VMEM((8, p), f32),  # grows
             pltpu.VMEM((1, 128), f32),  # small
             pltpu.SMEM((1, 16), f32),  # scalar state
+            # block-diag [[gram, 0], [0, F]] backward rhs (bwd_wide)
+            *([pltpu.VMEM((rc2, 2 * p), f32)] if bwd_wide else []),
         ],
     )
 

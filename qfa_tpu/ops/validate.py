@@ -113,6 +113,7 @@ def estimate_epoch_vmem(
     streams: int,
     zq_lanes: int | None = None,
     bf16_streams: int = 0,
+    wide_rows: int = 0,
 ) -> int:
     """Lower-bound VMEM bytes the whole-epoch kernel asks Mosaic for.
 
@@ -133,6 +134,9 @@ def estimate_epoch_vmem(
             kernel casts per-tile on read, so the streamed double buffers
             really are half-size — pricing them at 4 bytes would falsely
             reject survey-scale configurations that fit).
+        wide_rows: sublane rows of the ``bwd_wide`` block-diag backward
+            contraction scratch (``rc2``, 2P lanes wide); 0 when the
+            two-dot backward path runs.
     """
     f32 = 4
     tile_bytes = tile_batch * p_lanes * f32
@@ -144,6 +148,7 @@ def estimate_epoch_vmem(
     whole_in = (3 * nh + 8 + 1 + 1) * p_lanes * f32  # ft/mft/vft, rows, blue, loglam
     outs = (3 * nh + 8) * p_lanes * f32 + n_loss_rows * LANE * f32
     scratch = (2 * rc + 2 * nh + 2 * 8) * p_lanes * f32 + LANE * f32
+    scratch += wide_rows * 2 * p_lanes * f32  # bwd_wide (rc2, 2P) rhs
     return streamed + whole_in + outs + scratch
 
 
@@ -158,6 +163,7 @@ def validate_epoch_kernel(
     streams: int,
     zq_lanes: int | None = None,
     bf16_streams: int = 0,
+    wide_rows: int = 0,
     interpret: bool = False,
 ) -> None:
     """API-boundary guard for ``ops.epoch_kernel.fused_train_epoch``."""
@@ -175,7 +181,7 @@ def validate_epoch_kernel(
     need = estimate_epoch_vmem(
         nh=nh, tile_batch=tile_batch, p_lanes=p_lanes, rc=rc,
         n_loss_rows=n_epochs * n_batches, streams=streams, zq_lanes=zq_lanes,
-        bf16_streams=bf16_streams,
+        bf16_streams=bf16_streams, wide_rows=wide_rows,
     )
     if need > VMEM_BYTES:
         raise ValueError(

@@ -198,6 +198,7 @@ def make_epoch_dp_fn(
             tau_which=config.options.tau_which,
             reference_norm=config.reference_norm,
             mxu_bf16=config.mxu_bf16,
+            bwd_wide=config.bwd_wide,
             interpret=interpret,
         )
         # THE collective of the epoch — exactly one. A per-leaf tree-pmean

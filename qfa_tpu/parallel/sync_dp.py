@@ -150,6 +150,7 @@ def make_sync_dp_epoch_fn(
         tau_which=config.options.tau_which,
         reference_norm=config.reference_norm,
         mxu_bf16=config.mxu_bf16,
+        bwd_wide=config.bwd_wide,
         interpret=interpret,
         sync_grads=True,
     )

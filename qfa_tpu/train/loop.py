@@ -96,6 +96,11 @@ class TrainConfig:
     #: dots: ~20% faster headline epochs for a ~5e-7 relative loss drift.
     #: Pallas engines only; the XLA engines ignore it (they stay f32).
     mxu_bf16: bool = False
+    #: fuse the Pallas epoch kernel's two backward cotangent dots into
+    #: ONE block-diag contraction — bitwise-identical results, pays the
+    #: measured K-flat per-dot issue cost once instead of twice
+    #: (docs/CENSUS_r05.json, docs/BWDWIDE_r05.json). Pallas engines only.
+    bwd_wide: bool = False
     options: ModelOptions = ModelOptions()
     bounds: ParamBounds = DEFAULT_BOUNDS
 

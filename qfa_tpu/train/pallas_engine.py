@@ -199,6 +199,7 @@ def make_pallas_epoch_fn(
             tau_which=config.options.tau_which,
             reference_norm=config.reference_norm,
             mxu_bf16=config.mxu_bf16,
+            bwd_wide=config.bwd_wide,
             interpret=interpret,
         )
         new_state = TrainState(
@@ -296,6 +297,7 @@ def make_pallas_chunk_fn(
             tau_which=config.options.tau_which,
             reference_norm=config.reference_norm,
             mxu_bf16=config.mxu_bf16,
+            bwd_wide=config.bwd_wide,
             interpret=interpret,
         )
         new_state = TrainState(

@@ -952,3 +952,71 @@ def test_mxu_bf16_chunked_matches_per_epoch(problem):
     )
     for a, b in zip(jax.tree.leaves(st_a.params), jax.tree.leaves(st_b.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ablate_dot_splits_match_pair_stub(problem):
+    """Census instrumentation: ablating dwdot+dudot together must equal
+    the bwddots pair stub bitwise (same substituted planes), and unknown
+    section names are rejected at the API boundary."""
+    grid, nh, data = problem
+    p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+    zeros = jax.tree.map(jnp.zeros_like, p0)
+    tile_perm = jax.random.permutation(jax.random.key(3), data.size // 8)
+    kw = dict(
+        epoch=jnp.asarray(0, jnp.int32), n_batches=2, tile_batch=8,
+        interpret=True,
+    )
+
+    out_split = fused_train_epoch(
+        p0, zeros, zeros, data.delta, data.error, data.zabs, tile_perm,
+        ablate=("dwdot", "dudot"), **kw,
+    )
+    out_pair = fused_train_epoch(
+        p0, zeros, zeros, data.delta, data.error, data.zabs, tile_perm,
+        ablate=("bwddots",), **kw,
+    )
+    for a, b in zip(jax.tree.leaves(out_split.params),
+                    jax.tree.leaves(out_pair.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(ValueError, match="unknown ablate"):
+        fused_train_epoch(
+            p0, zeros, zeros, data.delta, data.error, data.zabs,
+            tile_perm, ablate=("nonsense",), **kw,
+        )
+
+
+def test_bwd_wide_bitwise_matches_two_dot_path(problem):
+    """The fused single backward contraction (bwd_wide) must be BITWISE
+    identical to the two-dot path on both engines: the block-diag rhs's
+    zero blocks contribute exact +0.0 terms, so every partial sum matches
+    (docs/CENSUS_r05.json dwdot/dudot measured the two-dot fixed issue
+    cost this fusion halves)."""
+    grid, nh, data = problem
+    p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+    zeros = jax.tree.map(jnp.zeros_like, p0)
+    tile_perm = jax.random.permutation(jax.random.key(3), data.size // 8)
+    for engine_kw in (dict(), dict(mxu_bf16=True)):
+        outs = [
+            fused_train_epoch(
+                p0, zeros, zeros, data.delta, data.error, data.zabs,
+                tile_perm, data.mask,
+                epoch=jnp.asarray(0, jnp.int32), n_batches=2,
+                tile_batch=8, interpret=True, bwd_wide=wide, **engine_kw,
+            )
+            for wide in (False, True)
+        ]
+        for a, b in zip(jax.tree.leaves(outs[0].params),
+                        jax.tree.leaves(outs[1].params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(
+            np.asarray(outs[0].loss_sums), np.asarray(outs[1].loss_sums)
+        )
+
+    with pytest.raises(ValueError, match="dwdot/dudot"):
+        fused_train_epoch(
+            p0, zeros, zeros, data.delta, data.error, data.zabs,
+            tile_perm, data.mask,
+            epoch=jnp.asarray(0, jnp.int32), n_batches=2, tile_batch=8,
+            interpret=True, bwd_wide=True, ablate=("dwdot",),
+        )

@@ -21,6 +21,15 @@ contraction depth(s):
   single44   — one dot, K=44 (the pair fused, were it semantically legal)
   single64   — one dot, K=64
   single128  — one dot, K=128 (a full nominal pass)
+  vpu8       — the K=8 contraction as 8 broadcast-fma outer products on
+               the VPU (no MXU dot; transpose of the left operand
+               provided pre-staged)
+  pair36+vpu8— the K=36 dot + the VPU outer-product K=8 (the candidate
+               kernel restructure: saves one fixed dot issue)
+  wide44     — ONE K=44 dot against a block-diag [[G,0],[0,U]] (44,2P)
+               rhs, whose (TB,2P) output is [dw | du] side by side —
+               one dot issue, 2x the output tiles, half the macs
+               structural zeros (the alternative restructure)
 
 If time is ~flat in K (single8 ~ single128), the pass-depth floor is
 proven and the census/binding model must price these dots at
@@ -58,17 +67,24 @@ P = 1920
 KMAX = 128
 _HP = dict(preferred_element_type=jnp.float32)
 
-#: (name, K1, K2-or-None). K2 mimics the production second (du) dot.
+#: (name, K1, K2-or-None, vpu_k2). K2 mimics the production second (du)
+#: dot; vpu_k2=True computes that K2 contraction as K2 broadcast-fma
+#: outer products on the VPU (from a pre-transposed (TB, KMAX) operand)
+#: instead of an MXU dot — the candidate replacement if the per-dot
+#: fixed pass cost dominates at K=8.
 VARIANTS = (
-    ("pair36+8", 36, 8),
-    ("single8", 8, None),
-    ("single44", 44, None),
-    ("single64", 64, None),
-    ("single128", 128, None),
+    ("pair36+8", 36, 8, False),
+    ("single8", 8, None, False),
+    ("single44", 44, None, False),
+    ("single64", 64, None, False),
+    ("single128", 128, None, False),
+    ("vpu8", 0, 8, True),
+    ("pair36+vpu8", 36, 8, True),
+    ("wide44", 36, 8, "wide"),
 )
 
 
-def _body(l_ref, r_ref, o_ref, *, grid, k1, k2):
+def _body(l_ref, lt_ref, r_ref, r2_ref, o_ref, *, grid, k1, k2, vpu_k2):
     j = pl.program_id(0)
 
     @pl.when(j == 0)
@@ -80,10 +96,36 @@ def _body(l_ref, r_ref, o_ref, *, grid, k1, k2):
     # identical across variants
     scale = 1.0 + jax.lax.convert_element_type(j, jnp.float32) * 1e-9
     l_all = l_ref[...] * scale
-    dw = jax.lax.dot_general(
-        l_all[:k1], r_ref[0:k1, :], (((0,), (0,)), ((), ())), **_HP
-    )  # (TB, P)
-    if k2 is not None:
+    if vpu_k2 == "wide":
+        # ONE K=(k1+k2) dot against the block-diag [[G,0],[0,U]] rhs:
+        # the (TB, 2P) output is [dw | du] side by side — pays one dot
+        # issue instead of two, at 2x the output tiles (half the macs
+        # are structural zeros). The kernel analogue rebuilds r2 once
+        # per batch (16 grid steps amortize it).
+        wide = jax.lax.dot_general(
+            l_all[: k1 + k2], r2_ref[0 : k1 + k2, :],
+            (((0,), (0,)), ((), ())), **_HP,
+        )  # (TB, 2P)
+        o_ref[...] += wide[:, :P] * 0.5 + wide[:, P:] * 0.25
+        return
+    if k1:
+        dw = jax.lax.dot_general(
+            l_all[:k1], r_ref[0:k1, :], (((0,), (0,)), ((), ())), **_HP
+        )  # (TB, P)
+    else:
+        dw = 0.0
+    if k2 is not None and vpu_k2:
+        # K2 outer products: (TB,1) lane-broadcast x (1,P) row — fma
+        # chain on the VPU, no MXU pass. lt holds the transposed left
+        # operand (its transpose cost is NOT probed here; in the kernel
+        # alpha would have to be produced lane-minor, see docstring).
+        lt = lt_ref[...] * scale
+        du = lt[:, k1 : k1 + 1] * r_ref[k1 : k1 + 1, :]
+        for jj in range(1, k2):
+            du = du + (lt[:, k1 + jj : k1 + jj + 1]
+                       * r_ref[k1 + jj : k1 + jj + 1, :])
+        o_ref[...] += dw * 0.5 + du * 0.25
+    elif k2 is not None:
         du = jax.lax.dot_general(
             l_all[k1 : k1 + k2], r_ref[k1 : k1 + k2, :],
             (((0,), (0,)), ((), ())), **_HP,
@@ -94,14 +136,16 @@ def _body(l_ref, r_ref, o_ref, *, grid, k1, k2):
         o_ref[...] += dw * 0.5
 
 
-def make_fn(k1, k2, grid):
-    kern = functools.partial(_body, grid=grid, k1=k1, k2=k2)
+def make_fn(k1, k2, grid, vpu_k2=False):
+    kern = functools.partial(_body, grid=grid, k1=k1, k2=k2, vpu_k2=vpu_k2)
     call = pl.pallas_call(
         kern,
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((KMAX, TB), lambda j: (0, 0)),
+            pl.BlockSpec((TB, KMAX), lambda j: (0, 0)),
             pl.BlockSpec((KMAX, P), lambda j: (0, 0)),
+            pl.BlockSpec((KMAX, 2 * P), lambda j: (0, 0)),
         ],
         out_specs=pl.BlockSpec((TB, P), lambda j: (0, 0)),
         out_shape=jax.ShapeDtypeStruct((TB, P), jnp.float32),
@@ -109,7 +153,7 @@ def make_fn(k1, k2, grid):
             dimension_semantics=("arbitrary",),
         ),
     )
-    return jax.jit(lambda l, r: call(l, r))
+    return jax.jit(lambda l, lt, r, r2: call(l, lt, r, r2))
 
 
 def main():
@@ -128,32 +172,39 @@ def main():
               file=sys.stderr, flush=True)
 
     rng = np.random.default_rng(7)
-    # operand pool: vary the LEFT operand per call (small: 128 KB each)
-    l_pool = [
-        jax.device_put(jnp.asarray(
-            rng.standard_normal((KMAX, TB)) * 1e-3, jnp.float32))
-        for _ in range(args.calls)
-    ]
-    r_dev = jax.device_put(jnp.asarray(
-        rng.standard_normal((KMAX, P)) * 1e-3, jnp.float32))
-    jax.block_until_ready(r_dev)
+    # operand pool: vary the LEFT operand per call (small: 128 KB each);
+    # lt = its transpose, for the VPU outer-product variants
+    l_np = [rng.standard_normal((KMAX, TB)).astype(np.float32) * 1e-3
+            for _ in range(args.calls)]
+    l_pool = [jax.device_put(jnp.asarray(x)) for x in l_np]
+    lt_pool = [jax.device_put(jnp.asarray(x.T.copy())) for x in l_np]
+    r_np = rng.standard_normal((KMAX, P)).astype(np.float32) * 1e-3
+    r_dev = jax.device_put(jnp.asarray(r_np))
+    # block-diag [[G, 0], [0, U]] rhs for the wide44 variant (G = rows
+    # 0:36 in lanes 0:P, U = rows 36:44 in lanes P:2P)
+    r2_np = np.zeros((KMAX, 2 * P), np.float32)
+    r2_np[0:36, :P] = r_np[0:36]
+    r2_np[36:44, P:] = r_np[36:44]
+    r2_dev = jax.device_put(jnp.asarray(r2_np))
+    jax.block_until_ready(r2_dev)
 
     fns = {}
-    for name, k1, k2 in VARIANTS:
+    for name, k1, k2, vpu_k2 in VARIANTS:
         stage(f"compile {name}")
-        fns[name] = make_fn(k1, k2, args.grid)
-        _ = float(np.asarray(fns[name](l_pool[0], r_dev))[0, 0])  # warm
+        fns[name] = make_fn(k1, k2, args.grid, vpu_k2)
+        _ = float(np.asarray(
+            fns[name](l_pool[0], lt_pool[0], r_dev, r2_dev))[0, 0])
 
     def window(fn):
         t = time.perf_counter()
-        for l in l_pool:
-            out = fn(l, r_dev)
+        for l, lt in zip(l_pool, lt_pool):
+            out = fn(l, lt, r_dev, r2_dev)
         _ = float(np.asarray(out)[0, 0])  # sync
         return (time.perf_counter() - t) / (args.calls * args.grid)
 
-    times = {name: [] for name, _, _ in VARIANTS}
+    times = {name: [] for name, _, _, _ in VARIANTS}
     for r in range(args.rounds):
-        for name, _, _ in VARIANTS:  # interleaved round-robin
+        for name, _, _, _ in VARIANTS:  # interleaved round-robin
             times[name].append(window(fns[name]))
         stage(f"round {r + 1}/{args.rounds} done")
 
@@ -174,11 +225,12 @@ def main():
         "mxu_peak_tflops_f32": None if mxu_tflops is None
         else round(mxu_tflops, 2),
     }
-    for name, k1, k2 in VARIANTS:
+    for name, k1, k2, vpu_k2 in VARIANTS:
         med = float(np.median(times[name]))
         flops = 2 * TB * P * (k1 + (k2 or 0))
         rec = {
-            "k": [k1] + ([k2] if k2 is not None else []),
+            "k": ([k1] if k1 else []) + ([k2] if k2 is not None else []),
+            "k2_on_vpu": vpu_k2,
             "us_per_step": round(med * 1e6, 3),
             "ns_per_spectrum_equiv": round(med / TB * 1e9, 2),
             "flops_per_step": flops,

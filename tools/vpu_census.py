@@ -60,7 +60,8 @@ def stage(msg):
 T0 = time.perf_counter()
 
 
-def make_direct_fn(loglam, *, tile=TILE, ablate=(), mxu_bf16=False):
+def make_direct_fn(loglam, *, tile=TILE, ablate=(), mxu_bf16=False,
+                   bwd_wide=False):
     """Jitted direct launch: (params, m, v, data, perms, epoch) -> outputs.
 
     Permutations arrive as an INPUT (host-precomputed), so the jit body is
@@ -77,7 +78,7 @@ def make_direct_fn(loglam, *, tile=TILE, ablate=(), mxu_bf16=False):
             params, m, v, data.delta, data.error, data.zabs, perms, None,
             epoch=epoch, n_batches=N_SPECTRA // BATCH, n_epochs=EPL,
             loglam=loglam, derive_zabs=True, tile_batch=tile,
-            mxu_bf16=mxu_bf16, ablate=ablate,
+            mxu_bf16=mxu_bf16, bwd_wide=bwd_wide, ablate=ablate,
         )
 
     return fn
@@ -117,7 +118,23 @@ def main():
     ap.add_argument("--rounds", type=int, default=5,
                     help="interleaved (full, ablated) pairs per section")
     ap.add_argument("--skip-calibration", action="store_true")
+    ap.add_argument("--sections", type=str, default=None,
+                    help="comma-separated subset of ABLATE_SECTIONS; a "
+                         "targeted run MERGES its measurements into the "
+                         "existing docs/CENSUS_r05.json instead of "
+                         "rewriting it, and skips the floor/grid/chunk "
+                         "stages")
     args = ap.parse_args()
+    # dwdot/dudot split bwddots per-dot — targeted-run only (a full run
+    # would double-count them in sections_measured_sum_ns)
+    default_sections = tuple(
+        s for s in ABLATE_SECTIONS if s not in ("dwdot", "dudot")
+    )
+    sections = (tuple(args.sections.split(","))
+                if args.sections else default_sections)
+    bad = set(sections) - set(ABLATE_SECTIONS)
+    if bad:
+        raise SystemExit(f"unknown sections {sorted(bad)}")
 
     import qfa_tpu
 
@@ -157,6 +174,11 @@ def main():
         "bwd": dict(simple=8 * p + 7 * pb, mxu=2 * (ntri + NH) * p),
         # ONLY the two backward contractions (+ output relayout, if any)
         "bwddots": dict(mxu=2 * (ntri + NH) * p),
+        # per-dot splits of bwddots (KDEPTH_r05 showed the dots pay a
+        # K-flat fixed pass cost standalone; these measure each dot's
+        # in-kernel marginal)
+        "dwdot": dict(mxu=2 * ntri * p),
+        "dudot": dict(mxu=2 * NH * p),
         # operand products (3PB after the dtz/tau0/neg hoists) + the 6
         # jnp.sum reductions (2 full-width + 4 blue, ~1 add/lane each
         # at walk rate; measured ~5x that — intrinsic VMEM traffic)
@@ -184,7 +206,7 @@ def main():
     epochs_per_window = args.calls * EPL
     results = {}
     full_times = []
-    for sec in ABLATE_SECTIONS:
+    for sec in sections:
         stage(f"section {sec}: compile")
         abl_fn = make_direct_fn(llrow, ablate=(sec,))
         _, _ = run_window(abl_fn, data, state0, 1, 1)  # compile + warm
@@ -206,6 +228,27 @@ def main():
               f"(pred {results[sec]['predicted_ns_per_spectrum']})")
 
     t_full_ns = float(np.median(full_times)) * 1e9
+
+    out_path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "docs", "CENSUS_r05.json")
+
+    if args.sections is not None:
+        # targeted run: merge the new sections + this window's t_full into
+        # the existing record (keeps the full run's floor/grid/chunk data)
+        with open(out_path) as fh:
+            record = json.load(fh)
+        record["sections"].update(results)
+        record.setdefault("targeted_runs", {})[args.sections] = {
+            "t_full_ns_per_spectrum": round(t_full_ns, 2),
+            "epochs_per_window": epochs_per_window,
+            "rounds": args.rounds,
+        }
+        with open(out_path, "w") as fh:
+            json.dump(record, fh, indent=1)
+        print(json.dumps(
+            {"t_full_ns_per_spectrum": round(t_full_ns, 2),
+             "sections": results}, indent=1))
+        return
 
     # ---- all-VPU floor: every VPU-ablatable section off at once ----------
     stage("all-sections floor: compile")
@@ -257,7 +300,7 @@ def main():
     chunk_overhead_us = float(np.median(chunk_deltas)) * 1e6
 
     measured_sum = sum(
-        results[s]["measured_ns_per_spectrum"] for s in ABLATE_SECTIONS
+        results[s]["measured_ns_per_spectrum"] for s in sections
     )
     record = {
         "what": "measured per-section census of the whole-epoch kernel "
