@@ -578,6 +578,21 @@ def run_smoke(full: bool = True) -> dict:
             epoch=jnp.asarray(0, jnp.int32), n_batches=2, tile_batch=8,
             n_epochs=2,
         ).compile())
+        # TRAIN.BWD_WIDE (fused single backward contraction): its Mosaic
+        # surface — the (rc2, 2P) block-diag scratch, lane-offset-P
+        # writes, the (TB, 2P) wide dot output and its offset slices —
+        # exists in no other kernel configuration, so prove it lowers on
+        # the plain AND blue/red-split grids (interpret-mode CI cannot)
+        check("epoch_bwd_wide", lambda: fused_train_epoch.lower(
+            params, zeros, zeros, b.delta, b.error, b.zabs, perm, b.mask,
+            bwd_wide=True, **ek,
+        ).compile())
+        check("epoch_split_bwd_wide", lambda: fused_train_epoch.lower(
+            params2, zeros2, zeros2, b2.delta * b2.mask,
+            b2.error * b2.mask, zq_column(jnp.asarray(syn2.zqso)), perm,
+            None, loglam=loglam_row(grid2.wav), derive_zabs=True,
+            bwd_wide=True, **ek,
+        ).compile())
         # ultra-wide grid (~13k lanes, past the widest measured = DESI's
         # 9.3k): proves the 128-row tile floor default_tile_batch assumes
         # for arbitrarily wide grids still lowers on the real toolchain
@@ -590,6 +605,18 @@ def run_smoke(full: bool = True) -> dict:
         check("predict_ultrawide_tile128", lambda: fused_predict.lower(
             paramsw, muw, synw.flux * synw.mask, synw.error * synw.mask,
             synw.zabs, synw.mask, tile_batch=128,
+        ).compile())
+        # the bwd_wide scratch doubles its LANE width with the grid —
+        # at ~13k lanes the (rc2, ~26k) block and its offset writes are
+        # far past anything the SDSS-width A/B compiled; DESI-width users
+        # of the flag rely on this lowering proof
+        bw = synw.to_batch(muw)
+        zerosw = jax.tree.map(jnp.zeros_like, paramsw)
+        check("epoch_ultrawide_bwd_wide", lambda: fused_train_epoch.lower(
+            paramsw, zerosw, zerosw, bw.delta, bw.error, bw.zabs,
+            jnp.arange(16, dtype=jnp.int32), bw.mask,
+            epoch=jnp.asarray(0, jnp.int32), n_batches=2, tile_batch=8,
+            bwd_wide=True,
         ).compile())
         check("predict_split_stats_only", lambda: fused_predict.lower(
             params2, mu2, syn2.flux * syn2.mask, syn2.error * syn2.mask,
@@ -752,11 +779,18 @@ def main() -> None:
         # elsewhere): both engines sample the same stage-long congestion
         # profile, so cross-engine selection is fair within this stage
         mxu_bf16_rate = max(bf_rates)
+        # rate for the adjacent early-MFU pair below: THIS stage's best
+        # f32 window (measured seconds before the calibration), NOT the
+        # session-max — pairing a quiet-window session-best rate with a
+        # possibly-congested peak would overstate quiet-window MFU (the
+        # exact adjacency flaw the pair methodology exists to fix)
+        f32_rate_adjacent = max(f32_rates)
         f32_train_rate = max(f32_train_rate, max(f32_rates))
         train_rate = max(train_rate, f32_train_rate, mxu_bf16_rate)
         train_dt = n_spectra / train_rate
         del stf, stb
     except Exception as e:  # noqa: BLE001
+        f32_rate_adjacent = f32_train_rate
         failures["mxu_bf16"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     # ---- early MFU pair (VERDICT r4 #7): calibrate the MXU peak in the
@@ -768,9 +802,9 @@ def main() -> None:
     mfu_pairs = []
     try:
         pk_f32_early, _pk_bf16_early, _rd_early = calibrate_peaks()
-        if f32_train_rate is not None:
+        if f32_rate_adjacent is not None:
             mfu_pairs.append(
-                {"when": "early", "f32_rate": round(f32_train_rate, 1),
+                {"when": "early", "f32_rate": round(f32_rate_adjacent, 1),
                  "peak_tflops": round(pk_f32_early, 2)}
             )
     except Exception as e:  # noqa: BLE001
@@ -1027,6 +1061,11 @@ def main() -> None:
     sanitize = jax.jit(lambda s, c: (s.flux * s.mask * c, s.error * s.mask))
     infer_rate = infer_dispatch_ms = None
     res = flux_s = err_s = None
+    #: per-stage flags from bench_chained_predict's HBM-spec plausibility
+    #: floor: True means even the re-measure implied more bandwidth than
+    #: the silicon has (the rate is published but must be read as
+    #: corrupted by a congestion burst between the chain arms)
+    sweep_suspects: dict = {}
     try:
         flux_s, err_s = sanitize(syn, 1.0)
         _ = float(np.asarray(err_s[0, 0]))
@@ -1034,10 +1073,13 @@ def main() -> None:
                             tile_batch=256, loglam=llrow, derive_zabs=True)
         _ = float(np.asarray(res.ll[0]))  # correctness path stays exercised
         infer_bps = 2 * flux_s.shape[1] * 4 + 512  # reads/spectrum
-        per_sweep, single, _susp = bench_chained_predict(
-            infer_params, mu, flux_s, err_s, zq, llrow,
-            n=n_spectra, tile_batch=256,
-            min_sweep_s=n_spectra * infer_bps / (V5E_HBM_SPEC_GBPS * 1e9),
+        per_sweep, single, sweep_suspects["infer"] = (
+            bench_chained_predict(
+                infer_params, mu, flux_s, err_s, zq, llrow,
+                n=n_spectra, tile_batch=256,
+                min_sweep_s=n_spectra * infer_bps
+                / (V5E_HBM_SPEC_GBPS * 1e9),
+            )
         )
         infer_rate = n_spectra / per_sweep
         infer_dispatch_ms = single * 1e3
@@ -1047,13 +1089,12 @@ def main() -> None:
     # stats-only OOD sweep: NLL + posterior only, ~320 B/spectrum output
     stage("ood sweep")
     ood_rate = None
-    ood_suspect = False
     try:
         kw_ood = dict(tile_batch=512, stats_only=True, loglam=llrow,
                       derive_zabs=True)
         flux_s, err_s = sanitize(syn, 1.0 + 1e-7)
         ood_bps = 2 * flux_s.shape[1] * 4 + 512
-        per_sweep, _single, ood_suspect = bench_chained_predict(
+        per_sweep, _single, sweep_suspects["ood"] = bench_chained_predict(
             infer_params, mu, flux_s, err_s, zq, llrow,
             n=n_spectra, tile_batch=512, stats_only=True,
             min_sweep_s=n_spectra * ood_bps / (V5E_HBM_SPEC_GBPS * 1e9),
@@ -1137,10 +1178,14 @@ def main() -> None:
             )
             _ = float(np.asarray(dres.ll[0]))
             desi_bps = 2 * dflux.shape[1] * 4 + 512
-            per_sweep, _single, _susp = bench_chained_predict(
-                desi_params, desi_mu, dflux, derr, desi_zq, desi_llrow,
-                n=desi_n, k=4, trials=2,
-                min_sweep_s=desi_n * desi_bps / (V5E_HBM_SPEC_GBPS * 1e9),
+            per_sweep, _single, sweep_suspects["desi_infer"] = (
+                bench_chained_predict(
+                    desi_params, desi_mu, dflux, derr, desi_zq,
+                    desi_llrow,
+                    n=desi_n, k=4, trials=2,
+                    min_sweep_s=desi_n * desi_bps
+                    / (V5E_HBM_SPEC_GBPS * 1e9),
+                )
             )
             desi_infer_rate = desi_n / per_sweep
             del dres, dflux, derr, desi_zq
@@ -1193,11 +1238,14 @@ def main() -> None:
                        None, **kw_sood)
             _ = float(np.asarray(sres.ll[0]))
             sood_bps = 2 * big.delta.shape[1] * 4 + 512
-            per_sweep, _single, _susp = bench_chained_predict(
-                big_params, mu, big.delta, big.error, big.zabs,
-                loglam_row(grid.wav), n=n_survey, k=3, trials=2,
-                tile_batch=512, stats_only=True,
-                min_sweep_s=n_survey * sood_bps / (V5E_HBM_SPEC_GBPS * 1e9),
+            per_sweep, _single, sweep_suspects["survey_ood"] = (
+                bench_chained_predict(
+                    big_params, mu, big.delta, big.error, big.zabs,
+                    loglam_row(grid.wav), n=n_survey, k=3, trials=2,
+                    tile_batch=512, stats_only=True,
+                    min_sweep_s=n_survey * sood_bps
+                    / (V5E_HBM_SPEC_GBPS * 1e9),
+                )
             )
             survey_ood_rate = n_survey / per_sweep
             del sres
@@ -1242,11 +1290,15 @@ def main() -> None:
                          big16.zabs, None, **kw16)
             _ = float(np.asarray(sres.ll[0]))
             bps16 = 2 * big16.delta.shape[1] * 2 + 512  # bf16 planes
-            per_sweep, _single, _susp = bench_chained_predict(
-                big16_params, mu, big16.delta, big16.error, big16.zabs,
-                loglam_row(grid.wav), n=n_big16, k=3, trials=2,
-                tile_batch=512, stats_only=True,
-                min_sweep_s=n_big16 * bps16 / (V5E_HBM_SPEC_GBPS * 1e9),
+            per_sweep, _single, sweep_suspects["bf16_ood"] = (
+                bench_chained_predict(
+                    big16_params, mu, big16.delta, big16.error,
+                    big16.zabs,
+                    loglam_row(grid.wav), n=n_big16, k=3, trials=2,
+                    tile_batch=512, stats_only=True,
+                    min_sweep_s=n_big16 * bps16
+                    / (V5E_HBM_SPEC_GBPS * 1e9),
+                )
             )
             ood16_rate = n_big16 / per_sweep
             del sres
@@ -1289,6 +1341,10 @@ def main() -> None:
             failures["northstar_500k"] = (
                 f"ran {len(ns_hist)} epochs, final loss {ns_final_loss}"
             )
+            # a truncated run's wall-clock is NOT the 500-epoch time:
+            # publishing it would understate the north star and wrongly
+            # set north_star_under_10min
+            measured_500k_min = None
         del ns_data, ns_final
     except Exception as e:  # noqa: BLE001
         failures["northstar_500k"] = f"{type(e).__name__}: {str(e)[:200]}"
@@ -1378,6 +1434,11 @@ def main() -> None:
     mfu_session = next(
         (q["mfu_pct"] for q in mfu_pairs if q["when"] == "late"), None
     )
+    if mfu_session is None:  # late re-measure stage failed: fall back to
+        # the early adjacent pair rather than reporting no session MFU
+        mfu_session = next(
+            (q["mfu_pct"] for q in mfu_pairs if "mfu_pct" in q), None
+        )
     mfu_best = max(
         (q["mfu_pct"] for q in mfu_pairs if "mfu_pct" in q), default=None
     )
@@ -1581,7 +1642,9 @@ def main() -> None:
             ),
             "ood_sweep_spectra_per_sec": _r(ood_rate),
             "ood_hbm": infer_hbm_block(ood_rate),
-            "ood_suspect_after_remeasure": bool(ood_suspect),
+            "sweep_suspects_after_remeasure": {
+                k: bool(v) for k, v in sweep_suspects.items()
+            },
             "ood_dp_pair_overhead_ms": _r(ood_dp_pair_ms, 2),
             "ood_dp_note": "stats-only OOD sweep through fused_predict_dp "
                            "on a 1-device mesh vs the plain kernel, "

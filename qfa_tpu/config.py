@@ -204,9 +204,11 @@ def default_config() -> ConfigNode:
                 "MXU_BF16": True,
                 #: Pallas engine: fuse the two backward cotangent dots
                 #: into ONE block-diag contraction. Bitwise-identical
-                #: trajectory (the zero blocks add exact +0.0 terms);
-                #: pays the kernel's measured K-flat fixed per-dot issue
-                #: cost once instead of twice (docs/BWDWIDE_r05.json).
+                #: trajectory (the zero blocks add exact +0.0 terms) but
+                #: measured speed-NEUTRAL (1.005x f32 / 1.007x bf16,
+                #: docs/BWDWIDE_r05.json — the dots' cost is output-pass
+                #: bound, so one wide dot pays the same as two): kept as
+                #: a tested alternate lowering, not a speed mode.
                 "BWD_WIDE": False,
                 #: Pallas engine: epochs fused into ONE kernel launch
                 #: (amortizes the fixed dispatch cost, ~+9% epoch rate on

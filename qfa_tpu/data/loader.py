@@ -241,7 +241,11 @@ def read_predict_catalog(catalog: str, data_dir: str) -> list[str]:
     catalog ported from a reference workflow may carry a real header
     line, which would otherwise gain a bogus first "file". Detection: if
     the first row's resolved path does not exist while some later row's
-    does, it is a header — dropped with a warning (see MIGRATION.md
+    does AND the row does not look like a spectrum filename (no
+    recognized extension), it is a header — dropped with a warning. A
+    missing-but-path-like first row (e.g. a deleted ``.npz``) instead
+    RAISES: silently dropping a real spectrum would misalign every
+    downstream output against the user's catalog (see MIGRATION.md
     behavioral difference 6).
     """
     import warnings
@@ -256,6 +260,16 @@ def read_predict_catalog(catalog: str, data_dir: str) -> list[str]:
         and not os.path.exists(paths[0])
         and any(os.path.exists(p) for p in paths[1:])
     ):
+        if str(files[0]).lower().endswith(
+            (".npz", ".fits", ".fit", ".txt", ".dat", ".csv", ".h5",
+             ".hdf5")
+        ):
+            raise FileNotFoundError(
+                f"predict catalog {catalog!r}: first row {files[0]!r} "
+                "looks like a spectrum file but does not exist (later "
+                "rows do) — refusing to sniff it away as a header line; "
+                "fix the path or remove the row"
+            )
         warnings.warn(
             f"predict catalog {catalog!r}: first row {files[0]!r} is not "
             "an existing spectrum file but later rows are — treating it "

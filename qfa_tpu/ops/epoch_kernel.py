@@ -261,10 +261,10 @@ def _epoch_kernel(
     #: accumulators instead of applying them (parallel.sync_dp)
     bwd_wide: bool,  #: fuse the two backward cotangent dots into ONE
     #: K=(ntri+nh) contraction against a block-diag [[gram,0],[0,F]]
-    #: (rc2, 2P) scratch whose (TB, 2P) output is [dw_pix | du_pix]:
-    #: in-kernel each (.,TB)@(.,P) dot pays a ~3.7-3.9 us fixed issue
-    #: cost regardless of K (measured, docs/CENSUS_r05.json dwdot/dudot
-    #: + docs/KDEPTH_r05.json), so one wide dot halves that
+    #: (rc2, 2P) scratch whose (TB, 2P) output is [dw_pix | du_pix].
+    #: Bitwise-identical, measured speed-NEUTRAL (the dots are
+    #: output-pass-bound; docs/BWDWIDE_r05.json) — a tested alternate
+    #: lowering, not a speed mode
     ablate: frozenset,  #: timing-census section stubs (ABLATE_SECTIONS);
     #: empty in every production path
 ):
@@ -730,8 +730,9 @@ def _epoch_kernel(
         # ONE K=(ntri+nh) dot against the block-diag rhs2: the (TB, 2P)
         # output is [dw_pix | du_pix] side by side. The zero blocks
         # contribute exact +0.0 terms, so both halves are bitwise equal
-        # to the two-dot path; the fixed per-dot issue cost (~3.7-3.9 us
-        # at TB=256, measured K-flat) is paid ONCE instead of twice.
+        # to the two-dot path. Measured speed-neutral (the dots are
+        # output-pass-bound, docs/BWDWIDE_r05.json) — kept as the tested
+        # alternate lowering that proved the two-dot path saturated.
         lhs44 = jnp.concatenate([s_t, -alpha_t], axis=0)
         wide = dot_big(
             lhs44, rhs2_scr[0 : ntri + nh, :], (((0,), (0,)), ((), ()))
@@ -1027,9 +1028,14 @@ def fused_train_epoch(
             ONE K=(ntri+nh) dot whose rhs is a block-diag
             ``[[gram, 0], [0, F]]`` scratch and whose (TB, 2P) output is
             ``[dw_pix | du_pix]``. Bitwise-identical results (the zero
-            blocks contribute exact +0.0 terms); pays the measured
-            ~3.7-3.9 us K-flat per-dot issue cost once instead of twice
-            (docs/CENSUS_r05.json dwdot/dudot, docs/KDEPTH_r05.json).
+            blocks contribute exact +0.0 terms) but measured
+            speed-NEUTRAL in-kernel (1.005x f32 / 1.007x bf16,
+            docs/BWDWIDE_r05.json): the dots' ~3.7-3.9 us cost is
+            output-pass-bound, so the fused (TB, 2P) output pays the
+            same as two (TB, P) outputs. Kept as a tested alternate
+            lowering — the experiment that PROVED the two-dot path
+            saturated (docs/CENSUS_r05.json dwdot/dudot,
+            docs/KDEPTH_r05.json).
         ablate: timing-census instrumentation ONLY (tools/vpu_census.py):
             kernel sections from :data:`ABLATE_SECTIONS` to stub out with
             shape-preserving constants. Ablated kernels return garbage

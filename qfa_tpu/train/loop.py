@@ -97,9 +97,10 @@ class TrainConfig:
     #: Pallas engines only; the XLA engines ignore it (they stay f32).
     mxu_bf16: bool = False
     #: fuse the Pallas epoch kernel's two backward cotangent dots into
-    #: ONE block-diag contraction — bitwise-identical results, pays the
-    #: measured K-flat per-dot issue cost once instead of twice
-    #: (docs/CENSUS_r05.json, docs/BWDWIDE_r05.json). Pallas engines only.
+    #: ONE block-diag contraction — bitwise-identical results, measured
+    #: speed-NEUTRAL (the dots are output-pass-bound, so one wide dot
+    #: costs the same as two; docs/BWDWIDE_r05.json). A tested alternate
+    #: lowering, not a speed mode. Pallas engines only.
     bwd_wide: bool = False
     options: ModelOptions = ModelOptions()
     bounds: ParamBounds = DEFAULT_BOUNDS

@@ -187,3 +187,20 @@ def test_batch_indices_cover_epoch():
     # remainder dropped
     idx3 = batch_indices(jax.random.key(0), 103, 25)
     assert idx3.shape == (4, 25)
+
+
+def test_read_predict_catalog_missing_first_file_raises(tmp_path, grid):
+    """A missing-but-path-like first row (e.g. a deleted .npz) must RAISE
+    rather than be sniffed away as a header: silently dropping a real
+    spectrum would misalign every downstream output against the user's
+    catalog."""
+    from qfa_tpu.data.loader import read_predict_catalog
+
+    rng = np.random.default_rng(5)
+    names = [f"t{i}.npz" for i in range(3)]
+    for name in names[1:]:  # first file deliberately missing
+        write_spec(tmp_path / name, grid.npix, 2.4, rng)
+    cat = tmp_path / "cat.csv"
+    cat.write_text("\n".join(names) + "\n")
+    with pytest.raises(FileNotFoundError, match="looks like a spectrum"):
+        read_predict_catalog(str(cat), str(tmp_path))

@@ -90,7 +90,9 @@ def main():
 
     # hardware numerics check: identical shuffle seeds were fed to every
     # variant, so the chained final params must agree within each engine
-    # (bitwise if Mosaic preserves the zero-block accumulation order)
+    # (bitwise if Mosaic preserves the zero-block accumulation order).
+    # ASSERTED, not just recorded — a silent hardware divergence here
+    # would invalidate the bitwise-identity claim the flag ships with.
     for eng in ("f32", "bf16"):
         a = states[f"{eng}_twodot"][0]
         b = states[f"{eng}_wide"][0]
@@ -101,6 +103,14 @@ def main():
             )
             losses[f"{eng}_max_param_rel_diff"] = max(
                 losses.get(f"{eng}_max_param_rel_diff", 0.0), rel
+            )
+        if losses[f"{eng}_max_param_rel_diff"] > 1e-6:
+            raise AssertionError(
+                f"{eng}: bwd_wide params diverged from the two-dot path "
+                f"on hardware (max rel diff "
+                f"{losses[f'{eng}_max_param_rel_diff']:.3e} > 1e-6) — "
+                "the bitwise-identity claim does not hold on this "
+                "toolchain"
             )
 
     record = {

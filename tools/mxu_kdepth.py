@@ -195,17 +195,29 @@ def main():
         _ = float(np.asarray(
             fns[name](l_pool[0], lt_pool[0], r_dev, r2_dev))[0, 0])
 
-    def window(fn):
+    scale2 = jax.jit(lambda a, b, s: (a * s, b * s))
+
+    def window(fn, lp, ltp):
         t = time.perf_counter()
-        for l, lt in zip(l_pool, lt_pool):
+        for l, lt in zip(lp, ltp):
             out = fn(l, lt, r_dev, r2_dev)
         _ = float(np.asarray(out)[0, 0])  # sync
         return (time.perf_counter() - t) / (args.calls * args.grid)
 
     times = {name: [] for name, _, _, _ in VARIANTS}
     for r in range(args.rounds):
+        # fresh (executable, input) pairs EVERY round: the tunnel
+        # memoizes identical executions (CLAUDE.md), so replaying the
+        # same pool across rounds could return cached results and report
+        # near-RTT-only step times. Device-side re-scaling (outside the
+        # timed windows) gives each round distinct inputs without host
+        # transfers.
+        s = jnp.float32(1.0 + 1e-6 * (r + 1))
+        pool_r = [scale2(l, lt, s) for l, lt in zip(l_pool, lt_pool)]
+        lp, ltp = [a for a, _ in pool_r], [b for _, b in pool_r]
+        jax.block_until_ready(lp[-1])
         for name, _, _, _ in VARIANTS:  # interleaved round-robin
-            times[name].append(window(fns[name]))
+            times[name].append(window(fns[name], lp, ltp))
         stage(f"round {r + 1}/{args.rounds} done")
 
     mxu_tflops = None
