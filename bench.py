@@ -52,9 +52,9 @@ def kernel_flops_per_spectrum(p: int, pb: int, nh: int) -> float:
     # 6 heavy dots (k/w projections + 4 backward contractions) at
     # (ntri + nh) rows each over p lanes, plus 3 full-width lane
     # reductions (the folded quad+logdet plane and the merged
-    # [ones; blue] x m count pass). The 7 gradient-row accumulations are
-    # VPU halving-tree adds (ones-row MXU dots measured slower —
-    # docs/CENSUS_r05.json), so they are counted in
+    # [ones; blue] x m count pass). The gradient-row accumulations are
+    # native sublane jnp.sum reductions on the VPU (ones-row MXU dots
+    # measured slower — docs/CENSUS_r05.json), so they are counted in
     # kernel_vpu_ops_per_spectrum, not here.
     ntri = nh * (nh + 1) // 2
     return 2.0 * p * (3 * (ntri + nh) + 3)
@@ -133,6 +133,12 @@ def make_problem(grid, nh, n, seed=0):
 #: proof of such corruption, so HBM-streaming sweeps pass a
 #: ``min_sweep_s`` floor derived from this and re-measure when violated.
 V5E_HBM_SPEC_GBPS = 819.0
+
+
+def hbm_floor_s(n: int, bytes_per_spectrum: int) -> float:
+    """Fastest physically possible per-sweep time for an HBM-streaming
+    sweep of ``n`` spectra: reads cannot beat the chip's HBM spec."""
+    return n * bytes_per_spectrum / (V5E_HBM_SPEC_GBPS * 1e9)
 
 
 def bench_chained_predict(params, mu, flux, err, zq, llrow, *, n, k=5,
@@ -1077,8 +1083,7 @@ def main() -> None:
             bench_chained_predict(
                 infer_params, mu, flux_s, err_s, zq, llrow,
                 n=n_spectra, tile_batch=256,
-                min_sweep_s=n_spectra * infer_bps
-                / (V5E_HBM_SPEC_GBPS * 1e9),
+                min_sweep_s=hbm_floor_s(n_spectra, infer_bps),
             )
         )
         infer_rate = n_spectra / per_sweep
@@ -1097,7 +1102,7 @@ def main() -> None:
         per_sweep, _single, sweep_suspects["ood"] = bench_chained_predict(
             infer_params, mu, flux_s, err_s, zq, llrow,
             n=n_spectra, tile_batch=512, stats_only=True,
-            min_sweep_s=n_spectra * ood_bps / (V5E_HBM_SPEC_GBPS * 1e9),
+            min_sweep_s=hbm_floor_s(n_spectra, ood_bps),
         )
         ood_rate = n_spectra / per_sweep
         res = fused_predict(infer_params, mu, flux_s, err_s, zq, None,
@@ -1183,8 +1188,7 @@ def main() -> None:
                     desi_params, desi_mu, dflux, derr, desi_zq,
                     desi_llrow,
                     n=desi_n, k=4, trials=2,
-                    min_sweep_s=desi_n * desi_bps
-                    / (V5E_HBM_SPEC_GBPS * 1e9),
+                    min_sweep_s=hbm_floor_s(desi_n, desi_bps),
                 )
             )
             desi_infer_rate = desi_n / per_sweep
@@ -1243,8 +1247,7 @@ def main() -> None:
                     big_params, mu, big.delta, big.error, big.zabs,
                     loglam_row(grid.wav), n=n_survey, k=3, trials=2,
                     tile_batch=512, stats_only=True,
-                    min_sweep_s=n_survey * sood_bps
-                    / (V5E_HBM_SPEC_GBPS * 1e9),
+                    min_sweep_s=hbm_floor_s(n_survey, sood_bps),
                 )
             )
             survey_ood_rate = n_survey / per_sweep
@@ -1296,8 +1299,7 @@ def main() -> None:
                     big16.zabs,
                     loglam_row(grid.wav), n=n_big16, k=3, trials=2,
                     tile_batch=512, stats_only=True,
-                    min_sweep_s=n_big16 * bps16
-                    / (V5E_HBM_SPEC_GBPS * 1e9),
+                    min_sweep_s=hbm_floor_s(n_big16, bps16),
                 )
             )
             ood16_rate = n_big16 / per_sweep

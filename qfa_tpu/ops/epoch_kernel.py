@@ -106,7 +106,7 @@ __all__ = [
 #:             in-kernel pair)
 #:   dudot   — ONLY the du_pix (K=nh) contraction
 #:   gsums   — the per-batch gradient-row accumulations (operand products
-#:             + the 7 MXU ones-row dots)
+#:             + the 6 sublane jnp.sum reductions)
 #:   small   — the per-spectrum Cholesky/solves/K^-1/S build (smallwork)
 #:   epi     — the per-batch optimizer epilogue (_finish_and_update)
 ABLATE_SECTIONS = (
@@ -271,7 +271,6 @@ def _epoch_kernel(
     rhs2_scr = None
     if bwd_wide:
         *rest, rhs2_scr = rest
-        rest = tuple(rest)
     mask_ref = None
     if not derive_mask:
         mask_ref, *rest = rest
