@@ -221,6 +221,41 @@ def bench_pallas_epochs(params, data, batch_size, tile_batch, trials,
     return dt, final_loss, state
 
 
+def time_engine_pair(cf32, cfbf, stf, stb, data, *, rounds, key_base,
+                     chunks_per_window=2):
+    """Interleaved same-window timing of two chunk engines.
+
+    Each round times ``chunks_per_window`` chained chunk calls per arm —
+    f32 arm first, one host sync closing each arm — so tunnel congestion
+    hits both arms of a round alike and cancels in the per-round ratio.
+    Both arms consume IDENTICAL keys from ``key_base``, which keeps their
+    loss trajectories comparable (the mxu_bf16 drift gate depends on
+    this). This is the ONE measurement protocol shared by the headline
+    mxu_bf16 stage and the late (rate, peak) re-measure: a methodology
+    change here changes both, keeping the early-vs-late MFU pairs
+    protocol-identical.
+
+    Returns (f32_times, bf16_times, stf, stb, lf_last, lb_last).
+    """
+    f32_ts, bf16_ts = [], []
+    lf_last = lb_last = None
+    for k in range(rounds):
+        t0 = time.perf_counter()
+        for j in range(chunks_per_window):
+            stf, lf = cf32(stf, data,
+                           jax.random.key(key_base + chunks_per_window * k + j))
+        lf_last = float(lf[-1])
+        t1 = time.perf_counter()
+        for j in range(chunks_per_window):
+            stb, lb = cfbf(stb, data,
+                           jax.random.key(key_base + chunks_per_window * k + j))
+        lb_last = float(lb[-1])
+        t2 = time.perf_counter()
+        f32_ts.append(t1 - t0)
+        bf16_ts.append(t2 - t1)
+    return f32_ts, bf16_ts, stf, stb, lf_last, lb_last
+
+
 def _census_block():
     """Summarize the hardware-measured per-section kernel census
     (tools/vpu_census.py -> docs/CENSUS_r05.json) for the roofline block:
@@ -599,6 +634,15 @@ def run_smoke(full: bool = True) -> dict:
             None, loglam=loglam_row(grid2.wav), derive_zabs=True,
             bwd_wide=True, **ek,
         ).compile())
+        # xsums census arm (tools/vpu_census.py): six extra sublane
+        # reductions on the blue/red-split grid — prove the additive
+        # instrumentation lowers before a census run depends on it
+        check("epoch_split_xsums", lambda: fused_train_epoch.lower(
+            params2, zeros2, zeros2, b2.delta * b2.mask,
+            b2.error * b2.mask, zq_column(jnp.asarray(syn2.zqso)), perm,
+            None, loglam=loglam_row(grid2.wav), derive_zabs=True,
+            ablate=("xsums",), **ek,
+        ).compile())
         # ultra-wide grid (~13k lanes, past the widest measured = DESI's
         # 9.3k): proves the 128-row tile floor default_tile_batch assumes
         # for arbitrarily wide grids still lowers on the real toolchain
@@ -755,26 +799,19 @@ def main() -> None:
         stf, lf = cf32(stf, data, jax.random.key(420))
         stb, lb = cfbf(stb, data, jax.random.key(420))
         _ = float(lf[-1]), float(lb[-1])  # compile + warm both arms
-        ratios, bf_rates, f32_rates = [], [], []
-        for k in range(5):  # interleaved pairs, 2 chunks (10 epochs) each
-            t0 = time.perf_counter()
-            for j in range(2):
-                stf, lf = cf32(stf, data, jax.random.key(430 + 2 * k + j))
-            _ = float(lf[-1])
-            t1 = time.perf_counter()
-            for j in range(2):
-                stb, lb = cfbf(stb, data, jax.random.key(430 + 2 * k + j))
-            _ = float(lb[-1])
-            t2 = time.perf_counter()
-            ratios.append((t1 - t0) / (t2 - t1))
-            f32_rates.append(n_spectra * 2 * epl / (t1 - t0))
-            bf_rates.append(n_spectra * 2 * epl / (t2 - t1))
-        mxu_bf16_ratio = statistics.median(ratios)
+        # interleaved pairs, 2 chunks (10 epochs) each
+        f32_ts, bf16_ts, stf, stb, lf_last, lb_last = time_engine_pair(
+            cf32, cfbf, stf, stb, data, rounds=5, key_base=430,
+        )
+        f32_rates = [n_spectra * 2 * epl / t for t in f32_ts]
+        bf_rates = [n_spectra * 2 * epl / t for t in bf16_ts]
+        mxu_bf16_ratio = statistics.median(
+            tf / tb for tf, tb in zip(f32_ts, bf16_ts)
+        )
         # loss-trajectory parity gate for the default-ON promotion: both
         # arms consumed IDENTICAL keys from the same init for 55 epochs,
         # so the final epoch losses measure the accumulated bf16 drift on
         # real hardware (expected ~5e-7 relative; bound 1e-5)
-        lf_last, lb_last = float(lf[-1]), float(lb[-1])
         mxu_bf16_drift = abs(lb_last - lf_last) / max(abs(lf_last), 1e-9)
         if mxu_bf16_drift > 1e-5:
             failures["mxu_bf16_drift"] = (
@@ -796,7 +833,14 @@ def main() -> None:
         train_dt = n_spectra / train_rate
         del stf, stb
     except Exception as e:  # noqa: BLE001
-        f32_rate_adjacent = f32_train_rate
+        # No fallback rate: the early pair's contract is that rate and
+        # peak were measured ADJACENTLY in one congestion window. With
+        # this stage dead the only candidates are minutes-old rates from
+        # other windows — publishing one as the "early" pair would
+        # reintroduce the exact cross-window skew the pair methodology
+        # exists to remove, so the early pair is simply omitted (the
+        # late pair still provides mfu_session).
+        f32_rate_adjacent = None
         failures["mxu_bf16"] = f"{type(e).__name__}: {str(e)[:200]}"
 
     # ---- early MFU pair (VERDICT r4 #7): calibrate the MXU peak in the
@@ -1318,6 +1362,7 @@ def main() -> None:
     # per-chunk host sync the production loop really pays.
     stage("executed north star: 500k x 500 epochs")
     measured_500k_min = ns_final_loss = None
+    ns_data = ns_final = ns_hist = None
     try:
         from qfa_tpu.train.pallas_engine import fit_pallas
 
@@ -1347,10 +1392,15 @@ def main() -> None:
             # publishing it would understate the north star and wrongly
             # set north_star_under_10min
             measured_500k_min = None
-        del ns_data, ns_final
     except Exception as e:  # noqa: BLE001
         failures["northstar_500k"] = f"{type(e).__name__}: {str(e)[:200]}"
-    gc.collect()
+    finally:
+        # a mid-run failure must not leave the ~8 GB resident dataset
+        # alive through the late re-measure/calibration stages — that
+        # memory pressure would distort the very rates and peaks the
+        # session MFU is built from
+        del ns_data, ns_final, ns_hist
+        gc.collect()
 
     # ---- roofline / MFU accounting ----------------------------------------
     # ---- late (rate, peak) pair: re-measure BOTH engines' headline rates
@@ -1378,18 +1428,9 @@ def main() -> None:
         _ = float(lv[-1])
         lsb, lv = lcb(lsb, ldata, jax.random.key(810))
         _ = float(lv[-1])  # warm both (compiles cached from the headline)
-        f32_ts, bf16_ts = [], []
-        for k in range(3):
-            t0 = time.perf_counter()
-            for j in range(2):
-                lsf, lv = lcf(lsf, ldata, jax.random.key(820 + 2 * k + j))
-            _ = float(lv[-1])
-            f32_ts.append(time.perf_counter() - t0)
-            t0 = time.perf_counter()
-            for j in range(2):
-                lsb, lv = lcb(lsb, ldata, jax.random.key(820 + 2 * k + j))
-            _ = float(lv[-1])
-            bf16_ts.append(time.perf_counter() - t0)
+        f32_ts, bf16_ts, lsf, lsb, _, _ = time_engine_pair(
+            lcf, lcb, lsf, lsb, ldata, rounds=3, key_base=820,
+        )
         late_f32_rate = n_spectra * 2 * epl / min(f32_ts)
         late_bf16_rate = n_spectra * 2 * epl / min(bf16_ts)
         del ldata, lsf, lsb, lparams, lsyn

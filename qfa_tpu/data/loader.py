@@ -241,12 +241,13 @@ def read_predict_catalog(catalog: str, data_dir: str) -> list[str]:
     catalog ported from a reference workflow may carry a real header
     line, which would otherwise gain a bogus first "file". Detection: if
     the first row's resolved path does not exist while some later row's
-    does AND the row does not look like a spectrum filename (no
-    recognized extension), it is a header — dropped with a warning. A
-    missing-but-path-like first row (e.g. a deleted ``.npz``) instead
-    RAISES: silently dropping a real spectrum would misalign every
-    downstream output against the user's catalog (see MIGRATION.md
-    behavioral difference 6).
+    does AND the row does not look like a filename at all (no
+    dot-suffix anywhere in its basename and no path separator — header
+    tokens are words like ``file`` or ``spec_path``), it is a header —
+    dropped with a warning. A missing-but-path-like first row (e.g. a
+    deleted ``.npz`` or ``.fits.gz``) instead RAISES: silently dropping
+    a real spectrum would misalign every downstream output against the
+    user's catalog (see MIGRATION.md behavioral difference 6).
     """
     import warnings
 
@@ -260,10 +261,12 @@ def read_predict_catalog(catalog: str, data_dir: str) -> list[str]:
         and not os.path.exists(paths[0])
         and any(os.path.exists(p) for p in paths[1:])
     ):
-        if str(files[0]).lower().endswith(
-            (".npz", ".fits", ".fit", ".txt", ".dat", ".csv", ".h5",
-             ".hdf5")
-        ):
+        first = str(files[0])
+        # Any dot-suffix (covers .npz, .fits.gz, .fz, … — an extension
+        # whitelist would silently drop a missing real spectrum with an
+        # unlisted suffix) or a path separator marks the row as a
+        # filename, not a header token.
+        if "." in os.path.basename(first) or "/" in first or os.sep in first:
             raise FileNotFoundError(
                 f"predict catalog {catalog!r}: first row {files[0]!r} "
                 "looks like a spectrum file but does not exist (later "

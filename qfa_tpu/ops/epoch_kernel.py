@@ -106,12 +106,21 @@ __all__ = [
 #:             in-kernel pair)
 #:   dudot   — ONLY the du_pix (K=nh) contraction
 #:   gsums   — the per-batch gradient-row accumulations (operand products
-#:             + the 6 sublane jnp.sum reductions)
+#:             + the 6 sublane jnp.sum reductions). CAVEAT: those sums
+#:             are the ONLY consumers of the dd cotangent chain, so this
+#:             removal arm lets the compiler delete the whole backward
+#:             chain (incl. the dw/du dots) along with them — its delta
+#:             is bwd + the true reduction cost, NOT the reduction cost
+#:             alone. Use `xsums` for the DCE-proof direct measurement.
+#:   xsums   — ADDITIVE arm: six EXTRA sublane reductions over alive,
+#:             nowhere-else-summed planes; the arm's marginal SLOWDOWN
+#:             vs the full kernel measures sublane-reduction cost with
+#:             no DCE/CSE confound. Must be the only section ablated.
 #:   small   — the per-spectrum Cholesky/solves/K^-1/S build (smallwork)
 #:   epi     — the per-batch optimizer epilogue (_finish_and_update)
 ABLATE_SECTIONS = (
     "tau", "fwd", "qlog", "bwd", "bwddots", "dwdot", "dudot", "gsums",
-    "small", "epi"
+    "xsums", "small", "epi"
 )
 
 #: Fixed lane width of the ``derive_zabs`` zq-column ABI: lane 0 =
@@ -823,6 +832,33 @@ def _epoch_kernel(
         grows_scr[G_DBETA : G_DBETA + 1, :pb] += tau0 * jnp.sum(
             dtz * log_zp1, axis=0, keepdims=True
         )
+    if "xsums" in ablate:
+        # census instrumentation (tools/vpu_census.py): SIX EXTRA sublane
+        # reductions over planes that are all ALIVE and none of which is
+        # summed anywhere else, so the compiler can neither DCE nor CSE
+        # them away. This arm runs the FULL kernel plus these sums; its
+        # marginal slowdown is a DCE-proof direct measurement of
+        # sublane-reduction cost (the `gsums` removal arm above cannot
+        # give that number — see the ABLATE_SECTIONS caveat).
+        wb = dzdep.shape[1]
+        grows_scr[G_DPSI : G_DPSI + 1, :] += jnp.sum(
+            dd, axis=0, keepdims=True
+        )
+        grows_scr[G_CNT : G_CNT + 1, :] += jnp.sum(
+            dw_pix, axis=0, keepdims=True
+        )
+        grows_scr[G_DOMEGA : G_DOMEGA + 1, :] += jnp.sum(
+            du_pix, axis=0, keepdims=True
+        )
+        grows_scr[G_DT0 : G_DT0 + 1, :] += jnp.sum(
+            q_row, axis=0, keepdims=True
+        )
+        grows_scr[G_DC0 : G_DC0 + 1, :wb] += jnp.sum(
+            dzdep, axis=0, keepdims=True
+        )
+        grows_scr[G_DBETA : G_DBETA + 1, :wb] += jnp.sum(
+            dtau_hi, axis=0, keepdims=True
+        )
 
 
     # -- batch end: record the loss books, then update (or, in sync mode,
@@ -1213,6 +1249,13 @@ def fused_train_epoch(
             "the dwdot/dudot census splits measure the TWO-dot backward "
             "path; with bwd_wide there is a single fused contraction — "
             "ablate 'bwddots' instead"
+        )
+    if "xsums" in ablate and len(ablate) > 1:
+        raise ValueError(
+            "'xsums' is an ADDITIVE census arm (full kernel + six extra "
+            "reductions over the live backward planes); combining it "
+            "with removal sections would measure against a kernel whose "
+            "operand planes are stubbed or dead — run it alone"
         )
     kernel = functools.partial(
         _epoch_kernel, nh=nh, tb=tb, tpb=tpb, n_batches=n_batches,

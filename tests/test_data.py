@@ -204,3 +204,18 @@ def test_read_predict_catalog_missing_first_file_raises(tmp_path, grid):
     cat.write_text("\n".join(names) + "\n")
     with pytest.raises(FileNotFoundError, match="looks like a spectrum"):
         read_predict_catalog(str(cat), str(tmp_path))
+
+    # unlisted-extension variants must raise too: the sniff keys on
+    # "looks like a filename" (any dot-suffix or path separator), not an
+    # extension whitelist — a whitelist would silently drop a missing
+    # spec-....fits.gz as a "header"
+    for first in ("spec-0268-51633-0064.fits.gz", "sub/dir/t9"):
+        cat.write_text(first + "\n" + "\n".join(names[1:]) + "\n")
+        with pytest.raises(FileNotFoundError, match="looks like a spectrum"):
+            read_predict_catalog(str(cat), str(tmp_path))
+
+    # a bare header word with no dot/separator still sniffs away
+    cat.write_text("spec_path\n" + "\n".join(names[1:]) + "\n")
+    with pytest.warns(UserWarning, match="header"):
+        got = read_predict_catalog(str(cat), str(tmp_path))
+    assert got == [str(tmp_path / n) for n in names[1:]]

@@ -986,6 +986,46 @@ def test_ablate_dot_splits_match_pair_stub(problem):
         )
 
 
+def test_ablate_xsums_additive_arm(problem):
+    """The xsums census arm ADDS six reductions on top of the full
+    kernel: the forward path (loss books) must be untouched, the
+    gradient rows must actually change (the extra sums land in
+    grows_scr — the arm is not a silent no-op the compiler could fold
+    away), and combining it with a removal section is rejected."""
+    grid, nh, data = problem
+    p0 = random_init(jax.random.key(2), grid.npix, grid.nb, nh)
+    zeros = jax.tree.map(jnp.zeros_like, p0)
+    tile_perm = jax.random.permutation(jax.random.key(3), data.size // 8)
+    # ONE batch: its loss books are computed from the pre-update params,
+    # so they must be untouched by the extra sums (with 2+ batches the
+    # second forward would already see batch 1's corrupted update)
+    kw = dict(
+        epoch=jnp.asarray(0, jnp.int32), n_batches=1, tile_batch=8,
+        interpret=True,
+    )
+    out_full = fused_train_epoch(
+        p0, zeros, zeros, data.delta, data.error, data.zabs, tile_perm,
+        **kw,
+    )
+    out_x = fused_train_epoch(
+        p0, zeros, zeros, data.delta, data.error, data.zabs, tile_perm,
+        ablate=("xsums",), **kw,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out_full.loss_sums), np.asarray(out_x.loss_sums)
+    )
+    assert any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(out_full.params),
+                        jax.tree.leaves(out_x.params))
+    )
+    with pytest.raises(ValueError, match="ADDITIVE census arm"):
+        fused_train_epoch(
+            p0, zeros, zeros, data.delta, data.error, data.zabs,
+            tile_perm, ablate=("xsums", "bwd"), **kw,
+        )
+
+
 def test_bwd_wide_bitwise_matches_two_dot_path(problem):
     """The fused single backward contraction (bwd_wide) must be BITWISE
     identical to the two-dot path on both engines: the block-diag rhs's

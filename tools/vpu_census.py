@@ -126,7 +126,8 @@ def main():
                          "stages")
     args = ap.parse_args()
     # dwdot/dudot split bwddots per-dot — targeted-run only (a full run
-    # would double-count them in sections_measured_sum_ns)
+    # would triple-count the backward dots: bwddots already covers the
+    # pair, and the gsums removal arm DCEs them yet again)
     default_sections = tuple(
         s for s in ABLATE_SECTIONS if s not in ("dwdot", "dudot")
     )
@@ -179,10 +180,20 @@ def main():
         # in-kernel marginal)
         "dwdot": dict(mxu=2 * ntri * p),
         "dudot": dict(mxu=2 * NH * p),
-        # operand products (3PB after the dtz/tau0/neg hoists) + the 6
-        # jnp.sum reductions (2 full-width + 4 blue, ~1 add/lane each
-        # at walk rate; measured ~5x that — intrinsic VMEM traffic)
-        "gsums": dict(simple=3 * pb + 2 * p + 4 * pb),
+        # REMOVAL arm, confounded by DCE: the six grows_scr sums are the
+        # ONLY consumers of the dd cotangent chain, so stubbing them out
+        # lets the compiler delete the whole backward chain (8P + 7PB
+        # elementwise) AND the dw/du dots along with the operand
+        # products (3PB) and reductions (2P + 4PB) themselves. The
+        # prediction prices ALL of that; the reduction-only cost is the
+        # `xsums` arm below (or gsums_minus_bwd: both arms DCE the same
+        # backward chain, so the difference is products + reductions)
+        "gsums": dict(simple=(3 * pb + 2 * p + 4 * pb) + (8 * p + 7 * pb),
+                      mxu=2 * (ntri + NH) * p),
+        # ADDITIVE arm: six EXTRA sublane reductions over alive planes
+        # (4 full-width + 2 blue) — the marginal slowdown is the
+        # DCE-proof direct measurement of sublane-reduction cost
+        "xsums": dict(simple=4 * p + 2 * pb),
         "small": dict(simple=int(2.3 * NH**3) * 8),
         "epi": dict(simple=0),  # per-batch, not per-spectrum: no walk pred
     }
@@ -215,7 +226,10 @@ def main():
             tf, state = run_window(full_fn, data, state, args.calls,
                                    100 + r)
             ta, _ = run_window(abl_fn, data, state0, args.calls, 200 + r)
-            deltas.append((tf - ta) / epochs_per_window / N_SPECTRA)
+            # xsums is the ADDITIVE arm: the ablated kernel is the full
+            # kernel PLUS six extra reductions, so its cost is ta - tf
+            signed = (ta - tf) if sec == "xsums" else (tf - ta)
+            deltas.append(signed / epochs_per_window / N_SPECTRA)
             fulls.append(tf / epochs_per_window / N_SPECTRA)
         med = float(np.median(deltas))
         results[sec] = {
@@ -243,6 +257,13 @@ def main():
             "epochs_per_window": epochs_per_window,
             "rounds": args.rounds,
         }
+        secs = record["sections"]
+        if {"gsums", "bwd"} <= set(secs):
+            # both removal arms DCE the same backward chain, so the
+            # difference isolates the operand products + reductions
+            record["gsums_minus_bwd_ns"] = round(
+                secs["gsums"]["measured_ns_per_spectrum"]
+                - secs["bwd"]["measured_ns_per_spectrum"], 2)
         with open(out_path, "w") as fh:
             json.dump(record, fh, indent=1)
         print(json.dumps(
@@ -251,9 +272,13 @@ def main():
         return
 
     # ---- all-VPU floor: every VPU-ablatable section off at once ----------
+    # (xsums is additive-only and the per-dot splits are covered by
+    # bwddots — the floor arm is every REMOVAL section at once)
     stage("all-sections floor: compile")
     floor_fn = make_direct_fn(
-        llrow, ablate=tuple(s for s in ABLATE_SECTIONS)
+        llrow,
+        ablate=tuple(s for s in ABLATE_SECTIONS
+                     if s not in ("xsums", "dwdot", "dudot")),
     )
     _, _ = run_window(floor_fn, data, state0, 1, 2)
     floor_deltas = []
@@ -301,6 +326,7 @@ def main():
 
     measured_sum = sum(
         results[s]["measured_ns_per_spectrum"] for s in sections
+        if s != "xsums"  # additive arm, not a component of t_full
     )
     record = {
         "what": "measured per-section census of the whole-epoch kernel "
@@ -308,6 +334,19 @@ def main():
         "t_full_ns_per_spectrum": round(t_full_ns, 2),
         "sections": results,
         "sections_measured_sum_ns": round(measured_sum, 2),
+        "sections_sum_note": "removal-arm deltas are NOT additive: "
+            "stubbing a section also DCEs anything whose only consumer "
+            "it was (bwd deletes the dw/du dots; gsums deletes the "
+            "entire backward chain), so overlapping sections double- "
+            "count and the sum exceeds t_full. Reduction-only cost = "
+            "the xsums additive arm (or gsums - bwd, same backward "
+            "chain DCE'd in both).",
+        **(
+            {"gsums_minus_bwd_ns": round(
+                results["gsums"]["measured_ns_per_spectrum"]
+                - results["bwd"]["measured_ns_per_spectrum"], 2)}
+            if {"gsums", "bwd"} <= set(results) else {}
+        ),
         "all_vpu_sections_floor_delta_ns": round(floor_ns, 2),
         "grid_step_overhead_us": round(step_us, 2),
         "chunk_vs_direct_overhead_us_per_epoch": round(chunk_overhead_us, 1),
