@@ -259,10 +259,14 @@ def time_engine_pair(cf32, cfbf, stf, stb, data, *, rounds, key_base,
 def _census_block():
     """Summarize the hardware-measured per-section kernel census
     (tools/vpu_census.py -> docs/CENSUS_r05.json) for the roofline block:
-    the analytic statement-walk underprices sublane reductions ~5x, so
-    the census is the authoritative decomposition of where epoch time
-    goes (and the evidence that the dominant terms are saturated — three
-    lowerings of the reductions measured within noise or worse)."""
+    the authoritative decomposition of where epoch time goes. Removal-arm
+    deltas are NOT additive (a stub DCEs whatever it was the only
+    consumer of — the gsums arm deletes the whole backward chain), so the
+    reduction cost comes from the ADDITIVE xsums arm: six extra sublane
+    reductions measured 0.45 ns/spectrum, i.e. reductions are ~free and
+    the dominant term is the backward dots, bounded by three measured
+    counter-lowerings (wide44 neutral, vpu8 worse, ones-row dots
+    slower)."""
     import os
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -281,15 +285,25 @@ def _census_block():
         "all_vpu_sections_floor_delta_ns": c.get(
             "all_vpu_sections_floor_delta_ns"
         ),
+        "xsums_marginal_ns": c.get("sections", {}).get(
+            "xsums", {}).get("measured_ns_per_spectrum"),
+        "gsums_minus_bwd_ns": c.get("gsums_minus_bwd_ns"),
         "note": "interleaved per-section hardware ablations (same-window "
                 "pair medians; f32 engine, fused-5 direct launches) — "
                 "see docs/CENSUS_r05.json for pair spreads and "
-                "statement-walk predictions. With ALL VPU sections "
-                "ablated the kernel hits the HBM stream floor, and the "
-                "dominant sections (gsums/bwd) measured no faster under "
-                "two alternative lowerings (ones-row MXU dots: slower; "
-                "explicit halving-tree adds: identical) — the serial "
-                "compute ceiling is saturated within measurement error",
+                "statement-walk predictions. Removal-arm deltas are NOT "
+                "additive: the gsums stub deletes the whole backward "
+                "chain (its only consumer role), so bwd/gsums both "
+                "re-count the backward dots. DCE-proof attribution: the "
+                "ADDITIVE xsums arm prices six extra sublane reductions "
+                "at ~0.45 ns/spectrum (reductions are ~free, fused into "
+                "the elementwise pipeline); the dominant term is the "
+                "backward dots, bounded by measured counter-lowerings "
+                "(wide44: neutral; vpu8: worse; ones-row dots: slower) "
+                "and removed by the production MXU_BF16 engine. With "
+                "ALL VPU sections ablated the kernel hits the HBM "
+                "stream floor — the serial compute ceiling is saturated "
+                "within measurement error",
     }
 
 

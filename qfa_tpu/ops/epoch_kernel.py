@@ -806,12 +806,13 @@ def _epoch_kernel(
             dpsi_op = dd_b * amp_b * amp_b
     if "gsums" not in ablate:
         # Per-pixel gradient rows accumulate through Mosaic's native
-        # sublane reduction. Measured alternatives (round 5, interleaved
-        # A/B on the v5e): ones-row MXU dots are ~15 ns/spectrum SLOWER
-        # (fixed multi-pass issue cost per dot) and an explicit halving
-        # tree of block adds is time-identical to jnp.sum — the
-        # reduction's cost is intrinsic VMEM traffic, not the lowering
-        # pattern (docs/CENSUS_r05.json).
+        # sublane reduction — which is nearly FREE: the additive xsums
+        # census arm priced six extra reductions at ~0.45 ns/spectrum
+        # (docs/CENSUS_r05.json), fused into the elementwise pipeline.
+        # Measured alternatives are no better or worse: ones-row MXU
+        # dots are ~15 ns/spectrum SLOWER (fixed multi-pass issue cost
+        # per small dot) and an explicit halving tree of block adds is
+        # time-identical to jnp.sum.
         grows_scr[G_DPSI : G_DPSI + 1, :] += jnp.sum(
             dpsi_op, axis=0, keepdims=True
         )

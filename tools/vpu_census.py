@@ -7,7 +7,13 @@ concat copies. This tool replaces that bound with HARDWARE MEASUREMENTS:
 each kernel section (qfa_tpu.ops.epoch_kernel.ABLATE_SECTIONS) is stubbed
 out with shape-preserving constants and the per-epoch time delta against
 the full kernel — interleaved in the same congestion window, median of
-pairs — is that section's true cost. Alongside, it measures
+pairs — is measured. CAVEAT: removal-arm deltas are NOT additive — a
+stub also DCEs anything it was the only consumer of (the gsums arm
+deletes the whole backward chain), so cross-section attribution must use
+the ADDITIVE `xsums` arm (extra reductions on top of the full kernel;
+its marginal slowdown is the DCE-proof reduction price) or same-window
+differences of arms that DCE the same code (gsums - bwd). Alongside, it
+measures
 
 * the per-epoch NON-KERNEL overhead of the production chunk path
   (permutation generation + state pack/unpack kernels): direct launches
